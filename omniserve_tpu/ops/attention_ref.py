@@ -1,0 +1,325 @@
+"""Reference (pure-jnp) attention ops: the semantic contracts.
+
+These define the exact behavior the Pallas kernels must reproduce:
+
+- ``prefill_attention``: packed-varlen causal attention with per-head mode —
+  dense causal vs streaming (sink + local band). Replaces the reference's
+  flash_attn_varlen_func + Block-Sparse-Attention token_streaming_attn_func
+  (omniserve/modeling/layers/ctx_attn/ctx_attn_func.py:9-74).
+- ``paged_decode_attention``: single-query attention over the paged
+  quantized KV pools with per-kv-head pool routing (retrieval vs streaming
+  ring), optional dynamic-sparse page selection. Replaces the MMHA kernels
+  (kernels/csrc/fused_attention/**, contract in SURVEY.md §2.3).
+- ``page_selector``: query-aware upper-bound page scores from per-sub-chunk
+  K min/max stats (KVPageSelectorTemplate.hpp:1180-1283):
+  score = sum_d max(q_d * kmin_d, q_d * kmax_d), i.e. q⁺·kmax + q⁻·kmin.
+
+Streaming-head validity at decode (ring pool, sink s tokens / local w
+tokens, context length L): token t is attended iff
+``t < s or t >= L - w`` — sinks are never overwritten; a local token
+survives until the token ``t + w`` lands on its ring slot.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Reference ops use exact f32 contractions (tests compare against numpy;
+# production kernels make their own precision choices).
+_PREC = jax.lax.Precision.HIGHEST
+
+from omniserve_tpu.ops.paged_kv import KVPool, gather_kv_for_seq
+
+NEG_INF = float("-inf")
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[T, Hkv, D] -> [T, Hkv*n_rep, D] (GQA group expansion)."""
+    if n_rep == 1:
+        return x
+    t, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (t, h, n_rep, d)).reshape(
+        t, h * n_rep, d
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefill attention (packed varlen + per-head streaming masks)
+# ---------------------------------------------------------------------------
+
+
+def prefill_attention(
+    q: jnp.ndarray,            # [T, Hq, D]
+    k: jnp.ndarray,            # [T, Hkv, D] (post-RoPE)
+    v: jnp.ndarray,            # [T, Hkv, D]
+    segment_ids: jnp.ndarray,  # [T] int32, seq id per packed token
+    positions: jnp.ndarray,    # [T] int32, position within its sequence
+    sm_scale: float,
+    head_is_retrieval: Optional[jnp.ndarray] = None,  # [Hq] bool
+    sink_size: int = 0,
+    local_size: int = 0,
+    valid: Optional[jnp.ndarray] = None,  # [T] bool, False = padding token
+) -> jnp.ndarray:
+    """Causal self-attention over packed sequences.
+
+    Streaming heads (``head_is_retrieval == False``) use the sink+local
+    band: query at position i attends key at position j iff
+    ``j <= i and (j < sink_size or i - j < local_size)``.
+    """
+    t, hq, d = q.shape
+    hkv = k.shape[1]
+    n_rep = hq // hkv
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+
+    scores = jnp.einsum(
+        "thd,shd->hts", q.astype(jnp.float32), k.astype(jnp.float32),
+        precision=_PREC,
+    ) * sm_scale
+
+    same_seq = segment_ids[:, None] == segment_ids[None, :]
+    causal = positions[:, None] >= positions[None, :]
+    mask = same_seq & causal
+    if valid is not None:
+        mask = mask & valid[None, :] & valid[:, None]
+    mask = jnp.broadcast_to(mask[None], (hq, t, t))
+
+    if head_is_retrieval is not None and (sink_size or local_size):
+        delta = positions[:, None] - positions[None, :]
+        band = (positions[None, :] < sink_size) | (delta < local_size)
+        streaming_mask = mask & jnp.broadcast_to(band[None], (hq, t, t))
+        mask = jnp.where(
+            head_is_retrieval[:, None, None], mask, streaming_mask
+        )
+
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Rows with no valid key (padding) produce NaN-free zeros:
+    probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
+    out = jnp.einsum("hts,shd->thd", probs, v.astype(jnp.float32),
+                     precision=_PREC)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decode (single-query) paged attention
+# ---------------------------------------------------------------------------
+
+
+def _attend(q_h, k_hist, v_hist, token_valid, sm_scale):
+    """q_h [Hq', D]; k/v_hist [S, Hq', D]; token_valid [S] or [S,Hq']."""
+    scores = (
+        jnp.einsum("hd,shd->hs", q_h.astype(jnp.float32), k_hist,
+                   precision=_PREC)
+        * sm_scale
+    )  # [H, S]
+    if token_valid.ndim == 1:
+        mask = token_valid[None, :]
+    else:
+        mask = token_valid.T
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
+    return jnp.einsum("hs,shd->hd", probs, v_hist, precision=_PREC)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,               # [B, Hq, D] (post-RoPE)
+    pool: KVPool,                 # retrieval pool
+    layer: int,
+    block_tables: jnp.ndarray,    # [B, max_blocks] int32
+    context_lens: jnp.ndarray,    # [B] int32, tokens cached incl. current
+    sm_scale: float,
+    page_size: int,
+    kv_bits: int,
+    kv_zeros: bool,
+    streaming_pool: Optional[KVPool] = None,
+    streaming_block_tables: Optional[jnp.ndarray] = None,  # [B, s+l blocks]
+    head_is_retrieval: Optional[jnp.ndarray] = None,  # [Hkv] bool
+    head_rank: Optional[jnp.ndarray] = None,          # [Hkv] rank in pool
+    sink_blocks: int = 0,
+    local_blocks: int = 0,
+    page_idxes: Optional[jnp.ndarray] = None,  # [B, Hkv, n_sel] logical, -1 pad
+) -> jnp.ndarray:
+    """Reference paged decode attention with dual pools + dynamic sparsity.
+
+    Head routing (SURVEY.md §2.3): kv head h uses the retrieval pool at row
+    ``head_rank[h]`` if ``head_is_retrieval[h]`` else the streaming ring
+    pool at row ``head_rank[h]``. ``page_idxes`` (if given) restricts each
+    retrieval head to the selected logical pages; the newest page must be
+    included by the selector.
+    """
+    b, hq, d = q.shape
+    max_blocks = block_tables.shape[1]
+    s_max = max_blocks * page_size
+
+    if head_is_retrieval is None:
+        hkv = pool.num_heads
+        head_is_retrieval = jnp.ones((hkv,), bool)
+        head_rank = jnp.arange(hkv)
+    else:
+        hkv = head_is_retrieval.shape[0]
+    n_rep = hq // hkv
+
+    outs = []
+    for bi in range(b):
+        L = context_lens[bi]
+        k_all, v_all = gather_kv_for_seq(
+            pool, layer, block_tables[bi], page_size, kv_bits, kv_zeros
+        )  # [S_max, Hr, D]
+        tok = jnp.arange(s_max)
+        dense_valid = tok < L
+
+        if streaming_pool is not None:
+            sk_all, sv_all = gather_kv_for_seq(
+                streaming_pool, layer, streaming_block_tables[bi],
+                page_size, kv_bits, kv_zeros,
+            )  # [(s+l)*page, Hs, D]
+            # Map logical token t -> ring slot token index.
+            sink_tok = sink_blocks * page_size
+            local_tok = local_blocks * page_size
+            stok = jnp.arange((sink_blocks + local_blocks) * page_size)
+            # slot index s holds logical token: sinks identity; locals hold
+            # the newest t with t >= sink_tok, t ≡ (s - sink_tok) mod
+            # local_tok... equivalently valid slots are those whose current
+            # logical token is in [max(sink_tok, L-local_tok), L).
+            # Reconstruct logical token per slot:
+            is_sink_slot = stok < sink_tok
+            r = stok - sink_tok  # offset within ring region
+            # latest logical token on this slot: largest t < L with
+            # (t - sink_tok) mod local_tok == r
+            n_written = L - sink_tok  # tokens written into ring region
+            latest = jnp.where(
+                n_written > r,
+                sink_tok + r
+                + ((n_written - 1 - r) // local_tok) * local_tok,
+                -1,
+            )
+            slot_token = jnp.where(is_sink_slot, stok, latest)
+            s_valid = (slot_token >= 0) & (slot_token < L)
+            s_valid = s_valid & (
+                is_sink_slot | (slot_token >= L - local_tok)
+            )
+
+        head_outs = []
+        for h in range(hkv):
+            q_h = q[bi, h * n_rep:(h + 1) * n_rep]  # [n_rep, D]
+            rank = head_rank[h]
+            if bool(head_is_retrieval[h]):
+                k_h = k_all[:, rank]
+                v_h = v_all[:, rank]
+                valid = dense_valid
+                if page_idxes is not None:
+                    sel = page_idxes[bi, h]  # [n_sel] logical pages, -1 pad
+                    page_of_tok = tok // page_size
+                    selected = (
+                        page_of_tok[:, None] == jnp.where(sel < 0, -2, sel)
+                    ).any(axis=1)
+                    valid = valid & selected
+            else:
+                k_h = sk_all[:, rank]
+                v_h = sv_all[:, rank]
+                valid = s_valid
+            out_h = _attend(
+                q_h, k_h[:, None].repeat(n_rep, 1), v_h[:, None].repeat(n_rep, 1),
+                valid, sm_scale,
+            )
+            head_outs.append(out_h)
+        outs.append(jnp.concatenate(head_outs, axis=0))
+    return jnp.stack(outs).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Query-aware page selector
+# ---------------------------------------------------------------------------
+
+
+def page_selector_scores(
+    q: jnp.ndarray,           # [B, Hq, D] current queries (post-RoPE)
+    k_stats: jnp.ndarray,     # [L, P, Hr, n_sub, 2, D] pool stats
+    layer: int,
+    block_tables: jnp.ndarray,  # [B, max_blocks]
+    head_is_retrieval: jnp.ndarray,  # [Hkv]
+    head_rank: jnp.ndarray,          # [Hkv]
+) -> jnp.ndarray:
+    """Upper-bound score per (batch, kv_head, logical page).
+
+    score(page) = max over sub-chunks of
+        max over the head's GQA queries of sum_d max(q_d*kmin_d, q_d*kmax_d).
+    Streaming heads get -inf (they never select pages).
+    """
+    b, hq, d = q.shape
+    hkv = head_is_retrieval.shape[0]
+    n_rep = hq // hkv
+    stats = k_stats[layer][block_tables]  # [B, max_b, Hr, n_sub, 2, D]
+    kmin = stats[..., 0, :]
+    kmax = stats[..., 1, :]
+    qf = q.astype(jnp.float32).reshape(b, hkv, n_rep, d)
+    ranks = head_rank  # [Hkv]
+    kmin_h = kmin[:, :, ranks]  # [B, max_b, Hkv, n_sub, D]
+    kmax_h = kmax[:, :, ranks]
+    # [B, max_b, Hkv, n_rep, n_sub]
+    ub = jnp.einsum(
+        "bhrd,bphsd->bphrs",
+        jnp.maximum(qf, 0.0),
+        kmax_h,
+        precision=_PREC,
+    ) + jnp.einsum(
+        "bhrd,bphsd->bphrs",
+        jnp.minimum(qf, 0.0),
+        kmin_h,
+        precision=_PREC,
+    )
+    scores = ub.max(axis=(3, 4))  # [B, max_b, Hkv]
+    scores = jnp.where(head_is_retrieval[None, None, :], scores, NEG_INF)
+    return scores.transpose(0, 2, 1)  # [B, Hkv, max_blocks]
+
+
+def select_topk_pages(
+    scores: jnp.ndarray,        # [B, Hkv, max_blocks]
+    context_lens: jnp.ndarray,  # [B]
+    budget_pages: int,
+    page_size: int,
+) -> jnp.ndarray:
+    """Top-(budget-1) pages by score + always the newest page.
+
+    Reference decoding_attention.py:132-141. If history fits in the budget,
+    all pages are selected. Returns logical page indices, -1 padded,
+    shape [B, Hkv, budget_pages].
+    """
+    b, hkv, max_blocks = scores.shape
+    n_pages = (context_lens + page_size - 1) // page_size  # [B]
+    newest = n_pages - 1
+    page_ids = jnp.arange(max_blocks)
+    in_range = page_ids[None, :] < n_pages[:, None]  # [B, max_blocks]
+    # Exclude the newest page from scoring; re-add it as slot 0.
+    scored = jnp.where(
+        in_range[:, None, :] & (page_ids[None, None, :] != newest[:, None, None]),
+        scores,
+        NEG_INF,
+    )
+    k = budget_pages - 1
+    top_scores, top_idx = jax.lax.top_k(scored, k)  # [B, Hkv, k]
+    top_idx = jnp.where(top_scores > NEG_INF, top_idx, -1)
+    sel = jnp.concatenate(
+        [jnp.broadcast_to(newest[:, None, None], (b, hkv, 1)), top_idx],
+        axis=2,
+    )
+    # If everything fits in budget, select all pages instead.
+    fits = n_pages <= budget_pages  # [B]
+    all_pages = jnp.where(
+        in_range[:, None, :], page_ids[None, None, :], -1
+    )  # [B, 1, max_blocks]
+    all_pages = jnp.broadcast_to(all_pages, (b, hkv, max_blocks))
+    if max_blocks >= budget_pages:
+        all_sel = all_pages[:, :, :budget_pages]
+    else:
+        all_sel = jnp.pad(
+            all_pages,
+            ((0, 0), (0, 0), (0, budget_pages - max_blocks)),
+            constant_values=-1,
+        )
+    return jnp.where(fits[:, None, None], all_sel, sel)

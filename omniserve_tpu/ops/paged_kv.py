@@ -176,16 +176,19 @@ def _scatter_data(
             q.astype(data.dtype), mode="drop"
         )
     # int4: read-modify-write the shared byte (half-split nibble layout).
+    # Two sequential passes (low nibbles, then high nibbles) so a token pair
+    # sharing one byte within this batch composes instead of last-wins.
     rows, is_hi = _pack_slot(slots, page_size)
-    current = data[page_ids, :, rows]                     # [T, H, D] uint8
     q = q.astype(jnp.uint8)
-    is_hi_b = is_hi[:, None, None].astype(jnp.uint8)
-    new_byte = jnp.where(
-        is_hi_b == 1,
-        (current & 0x0F) | (q << 4),
-        (current & 0xF0) | (q & 0x0F),
-    )
-    return data.at[page_ids, :, rows].set(new_byte, mode="drop")
+    num_pages = data.shape[0]
+    lo_pages = jnp.where(is_hi == 0, page_ids, num_pages)
+    current = data[jnp.minimum(lo_pages, num_pages - 1), :, rows]
+    lo_byte = (current & 0xF0) | (q & 0x0F)
+    data = data.at[lo_pages, :, rows].set(lo_byte, mode="drop")
+    hi_pages = jnp.where(is_hi == 1, page_ids, num_pages)
+    current = data[jnp.minimum(hi_pages, num_pages - 1), :, rows]
+    hi_byte = (current & 0x0F) | (q << 4)
+    return data.at[hi_pages, :, rows].set(hi_byte, mode="drop")
 
 
 def append_kv(
