@@ -109,21 +109,27 @@ def prefill_attention(
 # ---------------------------------------------------------------------------
 
 
-def _attend(q_h, k_hist, v_hist, token_valid, sm_scale):
-    """q_h [Hq', D]; k/v_hist [S, Hq', D]; token_valid [S] or [S,Hq']."""
+def _sdpa(
+    q: jnp.ndarray,      # [B, Hq, D]
+    k: jnp.ndarray,      # [B, S, Hkv, D] (dequantized)
+    v: jnp.ndarray,      # [B, S, Hkv, D]
+    valid: jnp.ndarray,  # [B, Hkv, S] bool
+    sm_scale: float,
+    n_rep: int,
+) -> jnp.ndarray:
+    """Batched single-query GQA attention with a per-(seq, head) key mask."""
+    b, s, hkv, d = k.shape
+    hq = q.shape[1]
+    qf = q.astype(jnp.float32).reshape(b, hkv, n_rep, d)
     scores = (
-        jnp.einsum("hd,shd->hs", q_h.astype(jnp.float32), k_hist,
-                   precision=_PREC)
-        * sm_scale
-    )  # [H, S]
-    if token_valid.ndim == 1:
-        mask = token_valid[None, :]
-    else:
-        mask = token_valid.T
+        jnp.einsum("bhrd,bshd->bhrs", qf, k, precision=_PREC) * sm_scale
+    )
+    mask = valid[:, :, None, :]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
-    return jnp.einsum("hs,shd->hd", probs, v_hist, precision=_PREC)
+    out = jnp.einsum("bhrs,bshd->bhrd", probs, v, precision=_PREC)
+    return out.reshape(b, hq, d)
 
 
 def paged_decode_attention(
@@ -163,73 +169,66 @@ def paged_decode_attention(
     else:
         hkv = head_is_retrieval.shape[0]
     n_rep = hq // hkv
+    tok = jnp.arange(s_max)
 
-    outs = []
-    for bi in range(b):
-        L = context_lens[bi]
-        k_all, v_all = gather_kv_for_seq(
-            pool, layer, block_tables[bi], page_size, kv_bits, kv_zeros
-        )  # [S_max, Hr, D]
-        tok = jnp.arange(s_max)
-        dense_valid = tok < L
+    # -- retrieval pool path (all kv heads; streaming heads overwritten) --
+    gather = jax.vmap(
+        lambda tbl: gather_kv_for_seq(
+            pool, layer, tbl, page_size, kv_bits, kv_zeros
+        )
+    )
+    k_all, v_all = gather(block_tables)  # [B, S, Hr, D]
+    dense_valid = tok[None, :] < context_lens[:, None]  # [B, S]
+    valid_r = jnp.broadcast_to(dense_valid[:, None, :], (b, hkv, s_max))
+    if page_idxes is not None:
+        page_of_tok = tok // page_size
+        sel = jnp.where(page_idxes < 0, -2, page_idxes)  # [B, Hkv, n_sel]
+        selected = (
+            page_of_tok[None, None, :, None] == sel[:, :, None, :]
+        ).any(-1)
+        valid_r = valid_r & selected
+    ranks_r = jnp.clip(head_rank, 0, pool.num_heads - 1)
+    out_r = _sdpa(
+        q, k_all[:, :, ranks_r], v_all[:, :, ranks_r], valid_r, sm_scale,
+        n_rep,
+    )
+    if streaming_pool is None:
+        return out_r.astype(q.dtype)
 
-        if streaming_pool is not None:
-            sk_all, sv_all = gather_kv_for_seq(
-                streaming_pool, layer, streaming_block_tables[bi],
-                page_size, kv_bits, kv_zeros,
-            )  # [(s+l)*page, Hs, D]
-            # Map logical token t -> ring slot token index.
-            sink_tok = sink_blocks * page_size
-            local_tok = local_blocks * page_size
-            stok = jnp.arange((sink_blocks + local_blocks) * page_size)
-            # slot index s holds logical token: sinks identity; locals hold
-            # the newest t with t >= sink_tok, t ≡ (s - sink_tok) mod
-            # local_tok... equivalently valid slots are those whose current
-            # logical token is in [max(sink_tok, L-local_tok), L).
-            # Reconstruct logical token per slot:
-            is_sink_slot = stok < sink_tok
-            r = stok - sink_tok  # offset within ring region
-            # latest logical token on this slot: largest t < L with
-            # (t - sink_tok) mod local_tok == r
-            n_written = L - sink_tok  # tokens written into ring region
-            latest = jnp.where(
-                n_written > r,
-                sink_tok + r
-                + ((n_written - 1 - r) // local_tok) * local_tok,
-                -1,
-            )
-            slot_token = jnp.where(is_sink_slot, stok, latest)
-            s_valid = (slot_token >= 0) & (slot_token < L)
-            s_valid = s_valid & (
-                is_sink_slot | (slot_token >= L - local_tok)
-            )
-
-        head_outs = []
-        for h in range(hkv):
-            q_h = q[bi, h * n_rep:(h + 1) * n_rep]  # [n_rep, D]
-            rank = head_rank[h]
-            if bool(head_is_retrieval[h]):
-                k_h = k_all[:, rank]
-                v_h = v_all[:, rank]
-                valid = dense_valid
-                if page_idxes is not None:
-                    sel = page_idxes[bi, h]  # [n_sel] logical pages, -1 pad
-                    page_of_tok = tok // page_size
-                    selected = (
-                        page_of_tok[:, None] == jnp.where(sel < 0, -2, sel)
-                    ).any(axis=1)
-                    valid = valid & selected
-            else:
-                k_h = sk_all[:, rank]
-                v_h = sv_all[:, rank]
-                valid = s_valid
-            out_h = _attend(
-                q_h, k_h[:, None].repeat(n_rep, 1), v_h[:, None].repeat(n_rep, 1),
-                valid, sm_scale,
-            )
-            head_outs.append(out_h)
-        outs.append(jnp.concatenate(head_outs, axis=0))
-    return jnp.stack(outs).astype(q.dtype)
+    # -- streaming ring pool path --
+    sgather = jax.vmap(
+        lambda tbl: gather_kv_for_seq(
+            streaming_pool, layer, tbl, page_size, kv_bits, kv_zeros
+        )
+    )
+    sk_all, sv_all = sgather(streaming_block_tables)  # [B, Ss, Hs, D]
+    sink_tok = sink_blocks * page_size
+    local_tok = local_blocks * page_size
+    stok = jnp.arange((sink_blocks + local_blocks) * page_size)
+    is_sink_slot = stok < sink_tok
+    r = stok - sink_tok
+    L = context_lens[:, None]  # [B, 1]
+    # latest logical token currently held by each ring slot: the largest
+    # t < L with (t - sink_tok) mod local_tok == r.
+    n_written = L - sink_tok
+    latest = jnp.where(
+        n_written > r,
+        sink_tok + r + ((n_written - 1 - r) // local_tok) * local_tok,
+        -1,
+    )
+    slot_token = jnp.where(is_sink_slot[None, :], stok[None, :], latest)
+    s_valid = (slot_token >= 0) & (slot_token < L)
+    s_valid = s_valid & (is_sink_slot[None, :] | (slot_token >= L - local_tok))
+    valid_s = jnp.broadcast_to(
+        s_valid[:, None, :], (b, hkv, s_valid.shape[1])
+    )
+    ranks_s = jnp.clip(head_rank, 0, streaming_pool.num_heads - 1)
+    out_s = _sdpa(
+        q, sk_all[:, :, ranks_s], sv_all[:, :, ranks_s], valid_s, sm_scale,
+        n_rep,
+    )
+    retr_q = jnp.repeat(head_is_retrieval, n_rep)  # [Hq]
+    return jnp.where(retr_q[None, :, None], out_r, out_s).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
