@@ -1,0 +1,575 @@
+"""Llama model family, quantized TPU-native (W4A8 / W8A8 / W16A16 x KV4/8/16).
+
+Functional rebuild of the reference model graphs
+(omniserve/modeling/models/llama_{w4a8,w8a8,w16a16}_unpad.py) as one
+precision-polymorphic module:
+
+- One stacked parameter pytree; the transformer trunk is a ``lax.scan`` over
+  layers (compile time independent of depth), with the paged KV pools
+  carried functionally and updated in place by XLA.
+- Prefill runs on packed tokens (segment ids) like the reference's unpadded
+  layout (llama_w4a8_unpad.py:406-438), padded to a static bucket.
+- Per layer: fused RMSNorm->int8 quant (+act sums), quantized qkv GEMM,
+  RoPE, KV quant+append (+K min/max stats), attention (dense or per-head
+  streaming), quantized o_proj, fused residual-RMSNorm-quant, fused
+  gate_up GEMM -> SiLU*mul -> int8 quant, down GEMM.
+- lm_head only on each sequence's last token at prefill
+  (llama_w4a8_unpad.py:557-560).
+
+Attention ops come from ``omniserve_tpu.ops.dispatch`` which picks Pallas
+kernels on TPU and the jnp reference elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omniserve_tpu.ops import dispatch
+from omniserve_tpu.ops.activation import silu_and_mul, silu_and_mul_quant
+from omniserve_tpu.ops.matmul import (
+    w4a8_matmul_per_channel,
+    w4a8_matmul_per_group,
+    w8a8_matmul,
+)
+from omniserve_tpu.ops.norms import rms_norm, rms_norm_quant
+from omniserve_tpu.ops.paged_kv import (
+    KVPool,
+    append_kv,
+    reset_page_stats_all_layers,
+    update_k_stats,
+)
+from omniserve_tpu.ops.quantization import (
+    quantize_activations,
+    quantize_weight_per_channel,
+    quantize_weight_per_group,
+    quantize_weight_w8,
+)
+from omniserve_tpu.ops.rope import apply_rope, rope_freqs
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaSpec:
+    """Static model + quantization + attention geometry (hashable)."""
+
+    num_layers: int
+    hidden: int
+    intermediate: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    vocab: int
+    rms_eps: float = 1e-5
+    rope_base: float = 10000.0
+    rope_scaling: float = 1.0
+    weight_bits: int = 4
+    act_bits: int = 8
+    kv_bits: int = 4
+    kv_zeros: bool = True
+    group_size: int = -1
+    page_size: int = 64
+    # LServe decode sparsity
+    sparse_decode: bool = False
+    sink_blocks: int = 2
+    local_blocks: int = 4
+    sub_chunks: int = 4
+    budget_pages: int = 64
+    selector_interval: int = 4
+    # LServe prefill sparsity
+    sparse_prefill: bool = False
+    ctx_sink: int = 128
+    ctx_local: int = 8192
+    tie_word_embeddings: bool = False
+
+    @property
+    def n_rep(self) -> int:
+        return self.num_q_heads // self.num_kv_heads
+
+    @property
+    def qkv_out(self) -> int:
+        return (self.num_q_heads + 2 * self.num_kv_heads) * self.head_dim
+
+    @property
+    def q_size(self) -> int:
+        return self.num_q_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def sm_scale(self) -> float:
+        return self.head_dim ** -0.5
+
+    @property
+    def quantized_acts(self) -> bool:
+        return self.act_bits == 8
+
+    @property
+    def needs_act_sums(self) -> bool:
+        return self.weight_bits == 4 and self.group_size == -1
+
+    @property
+    def with_stats(self) -> bool:
+        return self.sparse_decode
+
+    @classmethod
+    def from_model_config(cls, model_config, sp_attn_config=None,
+                          tp_size: int = 1) -> "LlamaSpec":
+        hf = model_config.hf_config
+        kwargs: Dict[str, Any] = {}
+        if sp_attn_config is not None:
+            dec = sp_attn_config.dec
+            ctx = sp_attn_config.ctx
+            kwargs.update(
+                sparse_decode=dec.sparse_decode_mode,
+                sink_blocks=dec.sink_blocks,
+                local_blocks=dec.local_blocks,
+                sub_chunks=dec.sub_chunk_per_block,
+                budget_pages=dec.budget_pages,
+                selector_interval=dec.selector_update_interval,
+                sparse_prefill=ctx.sparse_context_mode,
+                ctx_sink=ctx.ctx_sink_size,
+                ctx_local=ctx.ctx_local_size,
+            )
+        rope_scaling = 1.0
+        scaling_cfg = getattr(hf, "rope_scaling", None)
+        if scaling_cfg and scaling_cfg.get("type", scaling_cfg.get("rope_type")) == "linear":
+            rope_scaling = float(scaling_cfg["factor"])
+        return cls(
+            num_layers=hf.num_hidden_layers,
+            hidden=hf.hidden_size,
+            intermediate=hf.intermediate_size,
+            num_q_heads=hf.num_attention_heads // tp_size,
+            num_kv_heads=model_config.get_num_kv_heads(tp_size),
+            head_dim=model_config.get_head_size(),
+            vocab=hf.vocab_size,
+            rms_eps=getattr(hf, "rms_norm_eps", 1e-5),
+            rope_base=getattr(hf, "rope_theta", 10000.0),
+            rope_scaling=rope_scaling,
+            weight_bits=model_config.weight_bits,
+            act_bits=model_config.act_bits,
+            kv_bits=model_config.kv_cache_bits,
+            kv_zeros=model_config.kv_zeros,
+            group_size=model_config.group_size,
+            tie_word_embeddings=getattr(hf, "tie_word_embeddings", False),
+            **kwargs,
+        )
+
+
+class PrefillBatch(NamedTuple):
+    token_ids: jnp.ndarray          # [T] int32 (padded)
+    positions: jnp.ndarray          # [T] int32
+    segment_ids: jnp.ndarray        # [T] int32, padding rows = -1
+    block_tables: jnp.ndarray       # [B, max_blocks] int32
+    streaming_block_tables: jnp.ndarray  # [B, sb+lb] int32 (dummy if unused)
+    last_token_idx: jnp.ndarray     # [B] int32 index into T (0 if inactive)
+    seq_lens: jnp.ndarray           # [B] int32 prompt length (0 if inactive)
+    new_page_ids: jnp.ndarray       # [Npg] int32, -1 padded (stats reset)
+
+
+class DecodeBatch(NamedTuple):
+    token_ids: jnp.ndarray          # [B] int32
+    positions: jnp.ndarray          # [B] int32 (index of this token)
+    block_tables: jnp.ndarray       # [B, max_blocks]
+    streaming_block_tables: jnp.ndarray
+    active: jnp.ndarray             # [B] bool
+    new_page_ids: jnp.ndarray       # [Npg] int32, -1 padded
+    refresh_selection: jnp.ndarray  # [] bool — recompute page selection
+    cached_page_idxes: jnp.ndarray  # [L, B, Hkv, budget] int32 (-1 pad)
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def _quantize_linear(w_fp: jnp.ndarray, spec: LlamaSpec):
+    """[N_out, K_in] fp -> quantized container per spec."""
+    if spec.weight_bits == 4 and spec.group_size == -1:
+        return quantize_weight_per_channel(w_fp)
+    if spec.weight_bits == 4:
+        return quantize_weight_per_group(w_fp, group_size=spec.group_size)
+    if spec.weight_bits == 8:
+        return quantize_weight_w8(w_fp)
+    return w_fp.T.astype(jnp.bfloat16)  # [K, N] for direct matmul
+
+
+def quantize_layer_weights(
+    fp_layers: Dict[str, jnp.ndarray], spec: LlamaSpec
+) -> Dict[str, Any]:
+    """Per-layer fp dict (each [L, N, K] stacked) -> quantized stacked."""
+    quant = jax.vmap(lambda w: _quantize_linear(w, spec))
+    return {
+        name: (quant(w) if name in ("qkv", "o", "gate_up", "down") else w)
+        for name, w in fp_layers.items()
+    }
+
+
+def make_random_params(
+    spec: LlamaSpec, seed: int = 0,
+    retrieval_flags: Optional[np.ndarray] = None,
+    head_rank: Optional[np.ndarray] = None,
+) -> Dict[str, Any]:
+    """Random quantized params (the 'dummy load format' for benchmarks)."""
+    rng = np.random.default_rng(seed)
+    L, D, I = spec.num_layers, spec.hidden, spec.intermediate
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(
+            rng.normal(size=shape).astype(np.float32) * scale
+        )
+
+    fp_layers = {
+        "attn_ln": jnp.ones((L, D), jnp.float32),
+        "mlp_ln": jnp.ones((L, D), jnp.float32),
+        "qkv": w(L, spec.qkv_out, D),
+        "o": w(L, D, spec.q_size),
+        "gate_up": w(L, 2 * I, D),
+        "down": w(L, D, I),
+    }
+    params = {
+        "embed": w(spec.vocab, D).astype(jnp.bfloat16),
+        "final_ln": jnp.ones((D,), jnp.float32),
+        "lm_head": w(D, spec.vocab).astype(jnp.bfloat16),
+        "layers": quantize_layer_weights(fp_layers, spec),
+    }
+    params["attn_meta"] = make_attn_meta(spec, retrieval_flags, head_rank)
+    return params
+
+
+def make_attn_meta(
+    spec: LlamaSpec,
+    retrieval_flags: Optional[np.ndarray] = None,
+    head_rank: Optional[np.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Per-(layer, kv head) pool routing (reference ctx_attn_init.py)."""
+    L, H = spec.num_layers, spec.num_kv_heads
+    if retrieval_flags is None:
+        retrieval_flags = np.ones((L, H), bool)
+    if head_rank is None:
+        head_rank = np.zeros((L, H), np.int32)
+        for layer in range(L):
+            r = s = 0
+            for h in range(H):
+                if retrieval_flags[layer, h]:
+                    head_rank[layer, h] = r
+                    r += 1
+                else:
+                    head_rank[layer, h] = s
+                    s += 1
+    return {
+        "retrieval_flags": jnp.asarray(retrieval_flags),
+        "head_rank": jnp.asarray(head_rank, jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Linear application
+# ---------------------------------------------------------------------------
+
+
+def _apply_linear(weight, spec: LlamaSpec, x_q, x_scale=None, x_sum=None):
+    """Quantized (or bf16) linear. x_q is int8 acts or bf16 input."""
+    if spec.weight_bits == 4 and spec.group_size == -1:
+        return w4a8_matmul_per_channel(
+            x_q, weight.qweight, weight.s1_scales, weight.s1_szeros,
+            x_scale, x_sum,
+        )
+    if spec.weight_bits == 4:
+        return w4a8_matmul_per_group(
+            x_q, weight.qweight, weight.s1_scales, weight.s2_scales,
+            weight.s2_zeros, x_scale, group_size=spec.group_size,
+        )
+    if spec.weight_bits == 8:
+        return w8a8_matmul(x_q, weight.qweight, weight.scales, x_scale)
+    return jnp.dot(
+        x_q.astype(jnp.bfloat16), weight,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+
+
+def _norm_quant(x, ln_w, spec: LlamaSpec):
+    """RMSNorm (+ per-token quant when acts are int8)."""
+    if spec.quantized_acts:
+        return rms_norm_quant(x, ln_w, spec.rms_eps,
+                              fuse_sum=spec.needs_act_sums)
+    return rms_norm(x, ln_w, spec.rms_eps), None, None
+
+
+def _act_quant(x, spec: LlamaSpec):
+    if spec.quantized_acts:
+        return quantize_activations(x, fuse_sum=spec.needs_act_sums)
+    return x.astype(jnp.bfloat16), None, None
+
+
+# ---------------------------------------------------------------------------
+# KV page index computation (in-jit; block tables are plain page-id arrays)
+# ---------------------------------------------------------------------------
+
+
+def _ring_slot(blk: jnp.ndarray, sink_b: int, local_b: int) -> jnp.ndarray:
+    return jnp.where(blk < sink_b, blk, sink_b + (blk - sink_b) % local_b)
+
+
+def _prefill_page_ids(batch: PrefillBatch, spec: LlamaSpec):
+    """Token -> (retrieval page, slot, streaming page, slot)."""
+    seg = jnp.maximum(batch.segment_ids, 0)
+    blk = batch.positions // spec.page_size
+    slot = batch.positions % spec.page_size
+    n_blocks = batch.block_tables.shape[1]
+    pages_r = batch.block_tables[seg, jnp.minimum(blk, n_blocks - 1)]
+    invalid = batch.segment_ids < 0
+    pages_r = jnp.where(invalid, -1, pages_r)
+    # streaming: ring mapping; skip tokens that would be overwritten within
+    # this same prefill (not in sink and older than the local window).
+    ring = _ring_slot(blk, spec.sink_blocks, spec.local_blocks)
+    pages_s = batch.streaming_block_tables[
+        seg, jnp.minimum(ring, batch.streaming_block_tables.shape[1] - 1)
+    ]
+    L_seq = batch.seq_lens[seg]
+    sink_tok = spec.sink_blocks * spec.page_size
+    local_tok = spec.local_blocks * spec.page_size
+    dead = (batch.positions >= sink_tok) & (
+        batch.positions < L_seq - local_tok
+    )
+    pages_s = jnp.where(invalid | dead, -1, pages_s)
+    return pages_r, slot, pages_s, slot
+
+
+def _decode_page_ids(batch: DecodeBatch, spec: LlamaSpec):
+    b = batch.token_ids.shape[0]
+    bi = jnp.arange(b)
+    blk = batch.positions // spec.page_size
+    slot = batch.positions % spec.page_size
+    n_blocks = batch.block_tables.shape[1]
+    pages_r = batch.block_tables[bi, jnp.minimum(blk, n_blocks - 1)]
+    pages_r = jnp.where(batch.active, pages_r, -1)
+    ring = _ring_slot(blk, spec.sink_blocks, spec.local_blocks)
+    pages_s = batch.streaming_block_tables[
+        bi, jnp.minimum(ring, batch.streaming_block_tables.shape[1] - 1)
+    ]
+    pages_s = jnp.where(batch.active, pages_s, -1)
+    return pages_r, slot, pages_s, slot
+
+
+# ---------------------------------------------------------------------------
+# Transformer forward
+# ---------------------------------------------------------------------------
+
+
+def _split_qkv(qkv, spec: LlamaSpec, t):
+    q = qkv[:, : spec.q_size].reshape(t, spec.num_q_heads, spec.head_dim)
+    k = qkv[:, spec.q_size : spec.q_size + spec.kv_size].reshape(
+        t, spec.num_kv_heads, spec.head_dim
+    )
+    v = qkv[:, spec.q_size + spec.kv_size :].reshape(
+        t, spec.num_kv_heads, spec.head_dim
+    )
+    return q, k, v
+
+
+def _write_kv(
+    pools, layer, k, v, pages_r, slots_r, pages_s, slots_s, meta_l, spec,
+    update_stats: bool,
+):
+    """Quantize + scatter K/V into both pools for one layer."""
+    retrieval_pool, streaming_pool = pools
+    flags = meta_l["retrieval_flags"]  # [Hkv]
+    rank = meta_l["head_rank"]         # [Hkv]
+    # Map pool rows -> source kv head (inverse permutation; padding rows
+    # repeat head 0 — never read because rank < per-layer pool head count).
+    hr = retrieval_pool.num_heads
+    pool_rows = jnp.arange(hr)
+    # row r holds the kv head h with flags[h] & rank[h]==r
+    match_r = (rank[None, :] == pool_rows[:, None]) & flags[None, :]
+    src_r = jnp.argmax(match_r, axis=1)  # [Hr]
+    retrieval_pool = append_kv(
+        retrieval_pool, layer, k[:, src_r], v[:, src_r], pages_r, slots_r,
+        spec.page_size, spec.kv_bits, spec.kv_zeros,
+    )
+    if update_stats and retrieval_pool.k_stats is not None:
+        retrieval_pool = update_k_stats(
+            retrieval_pool, layer, k[:, src_r], pages_r, slots_r,
+            spec.page_size, spec.sub_chunks,
+        )
+    if streaming_pool is not None:
+        hs = streaming_pool.num_heads
+        srows = jnp.arange(hs)
+        match_s = (rank[None, :] == srows[:, None]) & (~flags[None, :])
+        src_s = jnp.argmax(match_s, axis=1)
+        streaming_pool = append_kv(
+            streaming_pool, layer, k[:, src_s], v[:, src_s], pages_s,
+            slots_s, spec.page_size, spec.kv_bits, spec.kv_zeros,
+        )
+    return retrieval_pool, streaming_pool
+
+
+def _layer_step(
+    h, pools, layer_idx, lp, meta_l, inv_freq, spec: LlamaSpec,
+    is_prefill: bool, batch, page_io, use_sparse: bool = False,
+):
+    """One transformer layer. h: [T, D] bf16 residual stream.
+
+    Returns (h, pools, page_idxes_l) — page_idxes_l is the (possibly
+    refreshed) dynamic page selection for this layer, or None.
+    """
+    t = h.shape[0]
+    pages_r, slots_r, pages_s, slots_s = page_io
+
+    # -- attention block --
+    x_q, x_scale, x_sum = _norm_quant(h, lp["attn_ln"], spec)
+    qkv = _apply_linear(lp["qkv"], spec, x_q, x_scale, x_sum)
+    q, k, v = _split_qkv(qkv, spec, t)
+    q = apply_rope(q, batch.positions, inv_freq)
+    k = apply_rope(k, batch.positions, inv_freq)
+
+    page_idxes_l = None
+    if use_sparse:
+        # Refresh the per-layer page selection from this layer's current q
+        # every selector_interval steps, else reuse the cached selection
+        # (reference decoding_attention.py:239-306). Runs BEFORE the KV
+        # append like the reference selector (scores exclude the newest
+        # page, which is force-included).
+        cached = batch.cached_page_idxes[layer_idx]
+        page_idxes_l = jax.lax.cond(
+            batch.refresh_selection,
+            lambda: _run_selector(q, pools[0], layer_idx, batch, meta_l, spec),
+            lambda: cached,
+        )
+
+    pools = _write_kv(
+        pools, layer_idx, k, v, pages_r, slots_r, pages_s, slots_s, meta_l,
+        spec, update_stats=spec.sparse_decode,
+    )
+    retrieval_pool, streaming_pool = pools
+
+    if is_prefill:
+        head_flags_q = (
+            jnp.repeat(meta_l["retrieval_flags"], spec.n_rep)
+            if spec.sparse_prefill
+            else None
+        )
+        attn = dispatch.prefill_attention(
+            q, k, v,
+            segment_ids=batch.segment_ids,
+            positions=batch.positions,
+            sm_scale=spec.sm_scale,
+            head_is_retrieval=head_flags_q,
+            sink_size=spec.ctx_sink,
+            local_size=spec.ctx_local,
+            valid=batch.segment_ids >= 0,
+        )
+    else:
+        context_lens = jnp.where(batch.active, batch.positions + 1, 0)
+        attn = dispatch.paged_decode_attention(
+            q, retrieval_pool, layer_idx, batch.block_tables, context_lens,
+            spec.sm_scale, spec.page_size, spec.kv_bits, spec.kv_zeros,
+            streaming_pool=streaming_pool,
+            streaming_block_tables=batch.streaming_block_tables,
+            head_is_retrieval=(
+                meta_l["retrieval_flags"] if streaming_pool is not None
+                else None
+            ),
+            head_rank=(
+                meta_l["head_rank"] if streaming_pool is not None else None
+            ),
+            sink_blocks=spec.sink_blocks,
+            local_blocks=spec.local_blocks,
+            page_idxes=page_idxes_l,
+        )
+    attn = attn.reshape(t, spec.q_size)
+    a_q, a_scale, a_sum = _act_quant(attn, spec)
+    h = h + _apply_linear(lp["o"], spec, a_q, a_scale, a_sum).astype(h.dtype)
+
+    # -- MLP block --
+    x_q, x_scale, x_sum = _norm_quant(h, lp["mlp_ln"], spec)
+    gate_up = _apply_linear(lp["gate_up"], spec, x_q, x_scale, x_sum)
+    if spec.quantized_acts:
+        g_q, g_scale, g_sum = silu_and_mul_quant(
+            gate_up, fuse_sum=spec.needs_act_sums
+        )
+    else:
+        g_q, g_scale, g_sum = silu_and_mul(gate_up).astype(jnp.bfloat16), None, None
+    h = h + _apply_linear(lp["down"], spec, g_q, g_scale, g_sum).astype(h.dtype)
+    return h, pools, page_idxes_l
+
+
+def _run_selector(q, retrieval_pool, layer_idx, batch, meta_l, spec):
+    """Refresh the dynamic page selection for this layer (lax.cond'd)."""
+    from omniserve_tpu.ops.attention_ref import (
+        page_selector_scores,
+        select_topk_pages,
+    )
+
+    context_lens = jnp.where(batch.active, batch.positions + 1, 0)
+    scores = page_selector_scores(
+        q, retrieval_pool.k_stats, layer_idx, batch.block_tables,
+        meta_l["retrieval_flags"], meta_l["head_rank"],
+    )
+    return select_topk_pages(
+        scores, context_lens, spec.budget_pages, spec.page_size
+    )
+
+
+def llama_forward(
+    params: Dict[str, Any],
+    retrieval_pool: KVPool,
+    streaming_pool: Optional[KVPool],
+    batch,
+    spec: LlamaSpec,
+    is_prefill: bool,
+) -> Tuple[jnp.ndarray, KVPool, Optional[KVPool], Optional[jnp.ndarray]]:
+    """Returns (last-token logits [B, V], pools..., new_page_idxes|None)."""
+    h = params["embed"][batch.token_ids].astype(jnp.bfloat16)  # [T, D]
+
+    if spec.with_stats:
+        retrieval_pool = reset_page_stats_all_layers(
+            retrieval_pool, batch.new_page_ids
+        )
+
+    if is_prefill:
+        page_io = _prefill_page_ids(batch, spec)
+    else:
+        page_io = _decode_page_ids(batch, spec)
+
+    meta = params["attn_meta"]
+    use_sparse = (not is_prefill) and spec.sparse_decode
+
+    def body(carry, xs):
+        h, rpool, spool = carry
+        layer_idx, lp, flags_l, rank_l = xs
+        meta_l = {"retrieval_flags": flags_l, "head_rank": rank_l}
+        h2, (rpool, spool), page_idxes_l = _layer_step(
+            h, (rpool, spool), layer_idx, lp, meta_l, inv_freq, spec,
+            is_prefill, batch, page_io, use_sparse,
+        )
+        return (h2, rpool, spool), page_idxes_l
+
+    inv_freq = rope_freqs(spec.head_dim, spec.rope_base, spec.rope_scaling)
+    xs = (
+        jnp.arange(spec.num_layers),
+        params["layers"],
+        meta["retrieval_flags"],
+        meta["head_rank"],
+    )
+    (h, retrieval_pool, streaming_pool), new_page_idxes = jax.lax.scan(
+        body, (h, retrieval_pool, streaming_pool), xs
+    )
+
+    h = rms_norm(h, params["final_ln"], spec.rms_eps)
+    if is_prefill:
+        h_last = h[batch.last_token_idx]  # [B, D]
+    else:
+        h_last = h
+    logits = jnp.dot(
+        h_last.astype(jnp.bfloat16), params["lm_head"],
+        preferred_element_type=jnp.float32,
+    )
+    if not use_sparse:
+        new_page_idxes = None
+    return logits, retrieval_pool, streaming_pool, new_page_idxes

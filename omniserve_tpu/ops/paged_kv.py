@@ -289,6 +289,22 @@ def reset_page_stats(
     return pool._replace(k_stats=stats)
 
 
+def reset_page_stats_all_layers(
+    pool: KVPool, page_ids: jnp.ndarray
+) -> KVPool:
+    """Reset the given pages' stats across every layer at once.
+
+    Called at the start of a step with the pages newly allocated by the
+    scheduler (pages are recycled dirty; stale min/max would corrupt the
+    selector's upper bounds)."""
+    if pool.k_stats is None:
+        return pool
+    safe = jnp.where(page_ids < 0, pool.num_pages, page_ids)
+    stats = pool.k_stats.at[:, safe, :, :, 0].set(jnp.inf, mode="drop")
+    stats = stats.at[:, safe, :, :, 1].set(-jnp.inf, mode="drop")
+    return pool._replace(k_stats=stats)
+
+
 # ---------------------------------------------------------------------------
 # Gather + dequantize (reference path; Pallas kernels read pools directly)
 # ---------------------------------------------------------------------------
