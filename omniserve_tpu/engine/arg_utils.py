@@ -1,0 +1,216 @@
+"""EngineArgs: CLI flag surface -> engine config objects.
+
+Mirrors the reference ``omniserve/engine/arg_utils.py`` flag set so the
+benchmark/eval scripts port over unchanged, including precision parsing
+(w4a8kv4 etc. -> kv bits/zeros, reference arg_utils.py:481-510) and the
+env-var pool sizing (NUM_RETRIEVAL_GPU_PAGE_BLOCKS /
+NUM_STREAMING_GPU_PAGE_BLOCKS, reference model_runner.py:229-239, with the
+25 x batch heuristic from README.md:281 as fallback).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+from omniserve_tpu.attn_config import SpAttnConfig, sparse_attn_init
+from omniserve_tpu.config import (
+    CacheConfig,
+    DeviceConfig,
+    IFBConfig,
+    ModelConfig,
+    ParallelConfig,
+    SchedulerConfig,
+)
+from omniserve_tpu.utils.constants import PAGE_SIZE
+
+
+@dataclasses.dataclass
+class EngineArgs:
+    model: str
+    tokenizer: Optional[str] = None
+    precision: str = "w16a16kv16"
+    quant_path: Optional[str] = None
+    group_size: int = -1
+    kv_quant_granularity: str = "fine_grained"
+    load_format: str = "auto"
+    trust_remote_code: bool = True
+    max_model_len: Optional[int] = None
+    seed: int = 0
+    # parallel
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    sequence_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    # memory
+    block_size: int = PAGE_SIZE
+    gpu_memory_utilization: float = 0.9
+    swap_space: float = 4.0
+    num_retrieval_blocks: Optional[int] = None
+    num_streaming_blocks: Optional[int] = None
+    # scheduler
+    max_num_batched_tokens: int = 262144
+    max_num_seqs: int = 256
+    chunk_prefill_size: int = 32000
+    ifb_mode: bool = True
+    benchmarking_mode: bool = False
+    # sparse attention (LServe)
+    sparse_context_mode: bool = False
+    sparse_decode_mode: bool = False
+    static_sparsity: float = 0.0
+    attn_pattern_path: Optional[str] = None
+    ctx_sink_size: int = 128
+    ctx_local_size: int = 8192
+    dec_sink_size: int = 128
+    dec_local_size: int = 256
+    sub_chunk_per_block: int = 4
+    sparse_kv_cache_budget: int = 4096
+    selector_update_interval: int = 4
+    multiblock_switch: int = 2048
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        parser.add_argument("--model", type=str, required=True)
+        parser.add_argument("--tokenizer", type=str, default=None)
+        parser.add_argument("--precision", type=str, default="w16a16kv16",
+                            help="e.g. w4a8kv4, w4a8kv8, w8a8kv8, w16a16kv8")
+        parser.add_argument("--quant-path", type=str, default=None)
+        parser.add_argument("--group-size", type=int, default=-1,
+                            help="-1 per-channel, 128 per-group")
+        parser.add_argument("--kv-quant-granularity", type=str,
+                            default="fine_grained",
+                            choices=["fine_grained", "per_tensor"])
+        parser.add_argument("--load-format", type=str, default="auto",
+                            choices=["auto", "dummy"])
+        parser.add_argument("--max-model-len", type=int, default=None)
+        parser.add_argument("--seed", type=int, default=0)
+        parser.add_argument("-tp", "--tensor-parallel-size", type=int,
+                            default=1)
+        parser.add_argument("-dp", "--data-parallel-size", type=int,
+                            default=1)
+        parser.add_argument("-sp", "--sequence-parallel-size", type=int,
+                            default=1)
+        parser.add_argument("-pp", "--pipeline-parallel-size", type=int,
+                            default=1)
+        parser.add_argument("--block-size", type=int, default=PAGE_SIZE)
+        parser.add_argument("--gpu-memory-utilization", type=float,
+                            default=0.9)
+        parser.add_argument("--swap-space", type=float, default=4.0)
+        parser.add_argument("--num-retrieval-blocks", type=int, default=None)
+        parser.add_argument("--num-streaming-blocks", type=int, default=None)
+        parser.add_argument("--max-num-batched-tokens", type=int,
+                            default=262144)
+        parser.add_argument("--max-num-seqs", type=int, default=256)
+        parser.add_argument("--chunk-prefill-size", type=int, default=32000)
+        parser.add_argument("--ifb-mode", action="store_true", default=True)
+        parser.add_argument("--no-ifb-mode", dest="ifb_mode",
+                            action="store_false")
+        parser.add_argument("--benchmarking-mode", action="store_true",
+                            default=False)
+        parser.add_argument("--sparse-context-mode", action="store_true")
+        parser.add_argument("--sparse-decode-mode", action="store_true")
+        parser.add_argument("--static-sparsity", type=float, default=0.0)
+        parser.add_argument("--attn-pattern-path", type=str, default=None)
+        parser.add_argument("--ctx-sink-size", type=int, default=128)
+        parser.add_argument("--ctx-local-size", type=int, default=8192)
+        parser.add_argument("--dec-sink-size", type=int, default=128)
+        parser.add_argument("--dec-local-size", type=int, default=256)
+        parser.add_argument("--sub-chunk-per-block", type=int, default=4)
+        parser.add_argument("--sparse-kv-cache-budget", type=int,
+                            default=4096)
+        parser.add_argument("--selector-update-interval", type=int, default=4)
+        parser.add_argument("--multiblock-switch", type=int, default=2048)
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(args).items() if k in fields})
+
+    def create_engine_configs(self) -> dict:
+        model_config = ModelConfig(
+            model=self.model,
+            precision=self.precision,
+            quant_path=self.quant_path,
+            max_model_len=self.max_model_len,
+            group_size=self.group_size,
+            kv_quant_granularity=self.kv_quant_granularity,
+            seed=self.seed,
+            trust_remote_code=self.trust_remote_code,
+        )
+        sp_attn_config: Optional[SpAttnConfig] = None
+        if self.sparse_context_mode or self.sparse_decode_mode:
+            sp_attn_config = sparse_attn_init(
+                sparse_context_mode=self.sparse_context_mode,
+                sparse_decode_mode=self.sparse_decode_mode,
+                static_sparsity=self.static_sparsity,
+                attn_pattern_path=self.attn_pattern_path,
+                ctx_sink_size=self.ctx_sink_size,
+                ctx_local_size=self.ctx_local_size,
+                dec_sink_size=self.dec_sink_size,
+                dec_local_size=self.dec_local_size,
+                sub_chunk_per_block=self.sub_chunk_per_block,
+                sparse_kv_cache_budget=self.sparse_kv_cache_budget,
+                selector_update_interval=self.selector_update_interval,
+                multiblock_switch=self.multiblock_switch,
+                page_size=self.block_size,
+                num_layers=model_config.get_num_layers(),
+                num_kv_heads=model_config.get_num_kv_heads(),
+            )
+
+        n_retr = self.num_retrieval_blocks
+        if n_retr is None:
+            n_retr = int(
+                os.environ.get(
+                    "NUM_RETRIEVAL_GPU_PAGE_BLOCKS", 25 * self.max_num_seqs
+                )
+            )
+        n_stream = self.num_streaming_blocks
+        if n_stream is None:
+            n_stream = int(
+                os.environ.get(
+                    "NUM_STREAMING_GPU_PAGE_BLOCKS",
+                    (
+                        (sp_attn_config.dec.sink_blocks
+                         + sp_attn_config.dec.local_blocks + 1)
+                        * self.max_num_seqs
+                        if sp_attn_config and sp_attn_config.enable_streaming
+                        else 0
+                    ),
+                )
+            )
+        swap_blocks = max(n_retr // 2, 1)
+        cache_config = CacheConfig(
+            page_size=self.block_size,
+            num_retrieval_device_blocks=n_retr,
+            num_retrieval_cpu_blocks=swap_blocks,
+            num_streaming_device_blocks=n_stream,
+            num_streaming_cpu_blocks=max(n_stream // 2, 1),
+            memory_utilization=self.gpu_memory_utilization,
+            swap_space_gb=self.swap_space,
+        )
+        parallel_config = ParallelConfig(
+            tensor_parallel_size=self.tensor_parallel_size,
+            data_parallel_size=self.data_parallel_size,
+            sequence_parallel_size=self.sequence_parallel_size,
+            pipeline_parallel_size=self.pipeline_parallel_size,
+        )
+        scheduler_config = SchedulerConfig(
+            max_num_batched_tokens=self.max_num_batched_tokens,
+            max_num_seqs=self.max_num_seqs,
+            max_model_len=model_config.max_model_len,
+            chunk_prefill_size=self.chunk_prefill_size,
+        )
+        return dict(
+            model_config=model_config,
+            cache_config=cache_config,
+            parallel_config=parallel_config,
+            scheduler_config=scheduler_config,
+            device_config=DeviceConfig(),
+            ifb_config=IFBConfig(ifb_mode=self.ifb_mode),
+            sp_attn_config=sp_attn_config,
+            load_format=self.load_format,
+            benchmarking_mode=self.benchmarking_mode,
+        )

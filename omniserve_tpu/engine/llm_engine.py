@@ -1,0 +1,291 @@
+"""LLMEngine: request lifecycle + per-iteration step loop.
+
+Same surface as the reference ``omniserve/engine/llm_engine.py``:
+``from_engine_args`` / ``add_request`` / ``step`` /
+``has_unfinished_requests`` / ``abort_request``; IFB (continuous batching,
+schedule each step, reference llm_engine.py:541-561) and non-IFB (schedule
+once, static batch, :562-592) modes; decoding-simulation via
+``DECODING_SIMULATION_LENGTH`` (:349-354); profiling requests with random
+token ids (:337-347).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from omniserve_tpu.attn_config import SpAttnConfig
+from omniserve_tpu.config import (
+    CacheConfig,
+    DeviceConfig,
+    IFBConfig,
+    ModelConfig,
+    ParallelConfig,
+    ProfilingConfig,
+    SchedulerConfig,
+)
+from omniserve_tpu.core.scheduler import Scheduler, SchedulerOutputs
+from omniserve_tpu.outputs import RequestOutput
+from omniserve_tpu.sampling_params import SamplingParams
+from omniserve_tpu.sequence import (
+    SamplerOutput,
+    Sequence,
+    SequenceGroup,
+    SequenceGroupMetadata,
+    SequenceStatus,
+)
+from omniserve_tpu.utils import Counter
+from omniserve_tpu.utils.logger import init_logger
+from omniserve_tpu.utils.tokenizer import (
+    detokenize_incrementally,
+    get_tokenizer,
+)
+from omniserve_tpu.worker.worker import Worker
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        cache_config: CacheConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        device_config: DeviceConfig,
+        ifb_config: IFBConfig,
+        sp_attn_config: Optional[SpAttnConfig] = None,
+        load_format: str = "auto",
+        tokenizer_mode: str = "auto",
+        benchmarking_mode: bool = False,
+        log_stats: bool = False,
+    ) -> None:
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.ifb_config = ifb_config
+        self.sp_attn_config = sp_attn_config
+        self.benchmarking_mode = benchmarking_mode
+        self.log_stats = log_stats
+        self.seq_counter = Counter()
+
+        self.tokenizer = None
+        if tokenizer_mode != "skip":
+            try:
+                self.tokenizer = get_tokenizer(model_config.model)
+            except Exception as e:  # dummy/benchmark models have no files
+                logger.warning("tokenizer unavailable (%s); text decode off", e)
+
+        self.worker = Worker(
+            model_config, cache_config, scheduler_config,
+            parallel_config=parallel_config, sp_attn_config=sp_attn_config,
+            load_format=load_format,
+        )
+        self.worker.init_cache_engine()
+
+        enable_streaming = bool(sp_attn_config and sp_attn_config.enable_streaming)
+        self.scheduler = Scheduler(
+            scheduler_config, cache_config, ifb_config,
+            streaming_sink_blocks=(
+                sp_attn_config.dec.sink_blocks if sp_attn_config else 0
+            ),
+            streaming_local_blocks=(
+                sp_attn_config.dec.local_blocks if sp_attn_config else 0
+            ),
+            enable_streaming=enable_streaming,
+        )
+
+        # non-IFB static-batch state
+        self._static_metadata: Optional[List[SequenceGroupMetadata]] = None
+        self._static_outputs: Optional[SchedulerOutputs] = None
+
+        self.decoding_sim_length = int(
+            os.environ.get("DECODING_SIMULATION_LENGTH", "0")
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_engine_args(cls, engine_args) -> "LLMEngine":
+        configs = engine_args.create_engine_configs()
+        return cls(**configs)
+
+    # ------------------------------------------------------------------
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str] = None,
+        sampling_params: Optional[SamplingParams] = None,
+        prompt_token_ids: Optional[List[int]] = None,
+        arrival_time: Optional[float] = None,
+        profiling_config: Optional[ProfilingConfig] = None,
+    ) -> None:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if arrival_time is None:
+            arrival_time = time.monotonic()
+        if profiling_config is not None:
+            # fixed-shape random prompt (reference llm_engine.py:337-347)
+            rng = np.random.default_rng(abs(hash(request_id)) % (2**31))
+            prompt_token_ids = rng.integers(
+                10, self.model_config.get_vocab_size() - 1,
+                size=profiling_config.prompt_len,
+            ).tolist()
+            sampling_params.max_tokens = profiling_config.generate_len
+            sampling_params.ignore_eos = True
+        elif prompt_token_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            prompt_token_ids = self.tokenizer.encode(prompt)
+
+        if self.decoding_sim_length > 0:
+            sampling_params.decoding_sim_token_ids = prompt_token_ids[
+                -self.decoding_sim_length:
+            ]
+
+        seqs = []
+        for _ in range(sampling_params.best_of):
+            seq = Sequence(
+                next(self.seq_counter), prompt, prompt_token_ids,
+                page_size=self.cache_config.page_size,
+            )
+            seqs.append(seq)
+        group = SequenceGroup(request_id, seqs, sampling_params, arrival_time)
+        self.scheduler.add_seq_group(group)
+
+    def abort_request(self, request_id: Union[str, List[str]]) -> None:
+        ids = [request_id] if isinstance(request_id, str) else request_id
+        self.scheduler.abort_seq_group(ids)
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.scheduler.get_num_unfinished_seq_groups()
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    # ------------------------------------------------------------------
+    def step(self) -> List[RequestOutput]:
+        if self.ifb_config.ifb_mode:
+            return self._step_ifb()
+        return self._step_static()
+
+    def _step_ifb(self) -> List[RequestOutput]:
+        metadata, sched_out = self.scheduler.schedule()
+        if sched_out.is_empty():
+            return [
+                RequestOutput.from_seq_group(g)
+                for g in sched_out.ignored_seq_groups
+            ]
+        samples = self.worker.execute_model(
+            metadata,
+            sched_out.blocks_to_swap_in,
+            sched_out.blocks_to_swap_out,
+            sched_out.blocks_to_copy,
+            sched_out.streaming_blocks_to_swap_in,
+            sched_out.streaming_blocks_to_swap_out,
+            sched_out.streaming_blocks_to_copy,
+        )
+        return self._process_model_outputs(samples, sched_out)
+
+    def _step_static(self) -> List[RequestOutput]:
+        """Non-IFB: schedule once, then reuse the static batch
+        (reference llm_engine.py:562-592)."""
+        if self._static_metadata is None:
+            self._static_metadata, self._static_outputs = (
+                self.scheduler.schedule()
+            )
+        else:
+            for meta in self._static_metadata:
+                meta.is_prompt = False
+            # grow block tables for the decode steps
+            for meta, group in zip(
+                self._static_metadata,
+                self._static_outputs.scheduled_seq_groups,
+            ):
+                for seq in group.get_seqs(SequenceStatus.RUNNING):
+                    self.scheduler.block_manager.append_slot(seq)
+                    meta.block_tables[seq.seq_id] = (
+                        self.scheduler.block_manager.get_block_table(seq)
+                    )
+                    if self.scheduler.block_manager.streaming is not None:
+                        meta.streaming_block_tables[seq.seq_id] = (
+                            self.scheduler.block_manager
+                            .get_streaming_block_table(seq)
+                        )
+        samples = self.worker.execute_model(
+            self._static_metadata, {}, {}, {}, {}, {}, {}
+        )
+        return self._process_model_outputs(
+            samples, self._static_outputs, check_stop=not self.benchmarking_mode
+        )
+
+    # ------------------------------------------------------------------
+    def _process_model_outputs(
+        self,
+        samples: SamplerOutput,
+        sched_out: SchedulerOutputs,
+        check_stop: bool = True,
+    ) -> List[RequestOutput]:
+        groups = sched_out.scheduled_seq_groups
+        for group, group_out in zip(groups, samples):
+            for sample in group_out.samples:
+                seq = group.find(sample.parent_seq_id)
+                token = sample.output_token
+                sp = group.sampling_params
+                if sp.decoding_sim_token_ids:
+                    token = sp.decoding_sim_token_ids[
+                        min(
+                            seq.get_output_len(),
+                            len(sp.decoding_sim_token_ids) - 1,
+                        )
+                    ]
+                seq.append_token_id(token)
+                if self.tokenizer is not None and check_stop:
+                    new_text, seq.prefix_offset, seq.read_offset = (
+                        detokenize_incrementally(
+                            self.tokenizer,
+                            seq.data.output_token_ids,
+                            seq.prefix_offset,
+                            seq.read_offset,
+                            sp.skip_special_tokens,
+                        )
+                    )
+                    seq.output_text += new_text
+                if check_stop:
+                    self._check_stop(seq, sp)
+                if seq.is_finished():
+                    self.scheduler.free_seq(seq)
+                    self.worker.free_seq(seq.seq_id)
+        self.scheduler.free_finished_seq_groups()
+        outputs = [RequestOutput.from_seq_group(g) for g in groups]
+        outputs.extend(
+            RequestOutput.from_seq_group(g)
+            for g in sched_out.ignored_seq_groups
+        )
+        return outputs
+
+    def _check_stop(self, seq: Sequence, sp: SamplingParams) -> None:
+        for stop_str in sp.stop:
+            if stop_str and seq.output_text.endswith(stop_str):
+                seq.output_text = seq.output_text[: -len(stop_str)]
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                seq.stop_reason = stop_str
+                return
+        last = seq.get_last_token_id()
+        if last in sp.stop_token_ids:
+            seq.status = SequenceStatus.FINISHED_STOPPED
+            return
+        if (
+            not sp.ignore_eos
+            and self.tokenizer is not None
+            and last == self.tokenizer.eos_token_id
+        ):
+            seq.status = SequenceStatus.FINISHED_STOPPED
+            return
+        if seq.get_output_len() >= sp.max_tokens:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+            return
+        if seq.get_len() >= self.scheduler_config.max_model_len:
+            seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED

@@ -119,9 +119,10 @@ class LlamaSpec:
 
     @classmethod
     def from_model_config(cls, model_config, sp_attn_config=None,
-                          tp_size: int = 1) -> "LlamaSpec":
+                          tp_size: int = 1,
+                          page_size: int = 64) -> "LlamaSpec":
         hf = model_config.hf_config
-        kwargs: Dict[str, Any] = {}
+        kwargs: Dict[str, Any] = {"page_size": page_size}
         if sp_attn_config is not None:
             dec = sp_attn_config.dec
             ctx = sp_attn_config.ctx

