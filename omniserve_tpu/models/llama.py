@@ -84,6 +84,11 @@ class LlamaSpec:
     ctx_sink: int = 128
     ctx_local: int = 8192
     tie_word_embeddings: bool = False
+    # Parallelism: when tp_axis is set the spec describes the PER-RANK model
+    # (local head/channel counts); row-parallel (o/down) outputs are
+    # psum'ed over tp_axis inside shard_map.
+    tp_axis: Optional[str] = None
+    dp_axis: Optional[str] = None
 
     @property
     def n_rep(self) -> int:
@@ -189,36 +194,92 @@ class DecodeBatch(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _quantize_linear(w_fp: jnp.ndarray, spec: LlamaSpec):
+def _quantize_linear(w_fp: jnp.ndarray, spec: LlamaSpec, k_shards: int = 1):
     """[N_out, K_in] fp -> quantized container per spec."""
     if spec.weight_bits == 4 and spec.group_size == -1:
-        return quantize_weight_per_channel(w_fp)
+        return quantize_weight_per_channel(w_fp, k_shards=k_shards)
     if spec.weight_bits == 4:
-        return quantize_weight_per_group(w_fp, group_size=spec.group_size)
+        return quantize_weight_per_group(
+            w_fp, group_size=spec.group_size, k_shards=k_shards
+        )
     if spec.weight_bits == 8:
         return quantize_weight_w8(w_fp)
     return w_fp.T.astype(jnp.bfloat16)  # [K, N] for direct matmul
 
 
+# Row-parallel layers: input channels sharded over tp; their int4 packing
+# must be per-shard so each rank's slice unpacks locally (the reference's
+# _row_parallel_layers = ["o_proj", "down_proj"], llama_w4a8_unpad.py:520).
+_ROW_PARALLEL = ("o", "down")
+_COL_PARALLEL = ("qkv", "gate_up")
+
+
 def quantize_layer_weights(
-    fp_layers: Dict[str, jnp.ndarray], spec: LlamaSpec
+    fp_layers: Dict[str, jnp.ndarray], spec: LlamaSpec, tp_size: int = 1
 ) -> Dict[str, Any]:
     """Per-layer fp dict (each [L, N, K] stacked) -> quantized stacked."""
-    quant = jax.vmap(lambda w: _quantize_linear(w, spec))
-    return {
-        name: (quant(w) if name in ("qkv", "o", "gate_up", "down") else w)
-        for name, w in fp_layers.items()
-    }
+    out = {}
+    for name, w in fp_layers.items():
+        if name in _ROW_PARALLEL:
+            shards = tp_size
+        elif name in _COL_PARALLEL:
+            shards = 1
+        else:
+            out[name] = w
+            continue
+        out[name] = jax.vmap(
+            lambda x, s=shards: _quantize_linear(x, spec, k_shards=s)
+        )(w)
+    return out
+
+
+def fuse_qkv_rank_major(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, tp_size: int = 1
+) -> jnp.ndarray:
+    """Fuse per-layer q/k/v [L, N_*, K] into [L, N_qkv, K] with output
+    channels ordered [q_0|k_0|v_0|q_1|k_1|v_1|...] so a tp shard of the
+    fused output axis is exactly one rank's (q, k, v) slice."""
+    if tp_size == 1:
+        return jnp.concatenate([q, k, v], axis=1)
+    qs = jnp.split(q, tp_size, axis=1)
+    ks = jnp.split(k, tp_size, axis=1)
+    vs = jnp.split(v, tp_size, axis=1)
+    parts = []
+    for r in range(tp_size):
+        parts.extend([qs[r], ks[r], vs[r]])
+    return jnp.concatenate(parts, axis=1)
+
+
+def fuse_gate_up_rank_major(
+    gate: jnp.ndarray, up: jnp.ndarray, tp_size: int = 1
+) -> jnp.ndarray:
+    if tp_size == 1:
+        return jnp.concatenate([gate, up], axis=1)
+    gs = jnp.split(gate, tp_size, axis=1)
+    us = jnp.split(up, tp_size, axis=1)
+    parts = []
+    for r in range(tp_size):
+        parts.extend([gs[r], us[r]])
+    return jnp.concatenate(parts, axis=1)
 
 
 def make_random_params(
     spec: LlamaSpec, seed: int = 0,
     retrieval_flags: Optional[np.ndarray] = None,
     head_rank: Optional[np.ndarray] = None,
+    tp_size: int = 1,
 ) -> Dict[str, Any]:
-    """Random quantized params (the 'dummy load format' for benchmarks)."""
+    """Random quantized params (the 'dummy load format' for benchmarks).
+
+    ``spec`` holds PER-RANK sizes when tp_size > 1; the produced arrays are
+    the GLOBAL (tp_size x wider) weights in rank-major order, to be sharded
+    over the model axis.
+    """
     rng = np.random.default_rng(seed)
-    L, D, I = spec.num_layers, spec.hidden, spec.intermediate
+    L, D = spec.num_layers, spec.hidden
+    I = spec.intermediate * tp_size
+    q_size = spec.q_size * tp_size
+    kv_size = spec.kv_size * tp_size
 
     def w(*shape, scale=0.02):
         return jnp.asarray(
@@ -228,18 +289,24 @@ def make_random_params(
     fp_layers = {
         "attn_ln": jnp.ones((L, D), jnp.float32),
         "mlp_ln": jnp.ones((L, D), jnp.float32),
-        "qkv": w(L, spec.qkv_out, D),
-        "o": w(L, D, spec.q_size),
-        "gate_up": w(L, 2 * I, D),
+        "qkv": fuse_qkv_rank_major(
+            w(L, q_size, D), w(L, kv_size, D), w(L, kv_size, D), tp_size
+        ),
+        "o": w(L, D, q_size),
+        "gate_up": fuse_gate_up_rank_major(
+            w(L, I, D), w(L, I, D), tp_size
+        ),
         "down": w(L, D, I),
     }
     params = {
         "embed": w(spec.vocab, D).astype(jnp.bfloat16),
         "final_ln": jnp.ones((D,), jnp.float32),
         "lm_head": w(D, spec.vocab).astype(jnp.bfloat16),
-        "layers": quantize_layer_weights(fp_layers, spec),
+        "layers": quantize_layer_weights(fp_layers, spec, tp_size),
     }
-    params["attn_meta"] = make_attn_meta(spec, retrieval_flags, head_rank)
+    params["attn_meta"] = make_attn_meta(
+        spec, retrieval_flags, head_rank, tp_size
+    )
     return params
 
 
@@ -247,22 +314,41 @@ def make_attn_meta(
     spec: LlamaSpec,
     retrieval_flags: Optional[np.ndarray] = None,
     head_rank: Optional[np.ndarray] = None,
+    tp_size: int = 1,
 ) -> Dict[str, jnp.ndarray]:
-    """Per-(layer, kv head) pool routing (reference ctx_attn_init.py)."""
-    L, H = spec.num_layers, spec.num_kv_heads
+    """Per-(layer, kv head) pool routing (reference ctx_attn_init.py).
+
+    With tp > 1 the GLOBAL [L, H_global] arrays are built but ranks are
+    computed independently within each tp block of heads (pools are sharded
+    by head, so ranks index the LOCAL pool). Requires retrieval heads to
+    split evenly across tp blocks.
+    """
+    L = spec.num_layers
+    H = spec.num_kv_heads * tp_size  # global kv heads
     if retrieval_flags is None:
         retrieval_flags = np.ones((L, H), bool)
-    if head_rank is None:
+    retrieval_flags = np.asarray(retrieval_flags, bool)
+    assert retrieval_flags.shape == (L, H)
+    if tp_size > 1:
+        per_block = retrieval_flags.reshape(L, tp_size, -1).sum(axis=2)
+        if not (per_block == per_block[:, :1]).all():
+            raise ValueError(
+                "retrieval heads must split evenly across tensor-parallel "
+                "ranks; re-order heads or lower tp"
+            )
+    if head_rank is None or tp_size > 1:
+        block = H // tp_size
         head_rank = np.zeros((L, H), np.int32)
         for layer in range(L):
-            r = s = 0
-            for h in range(H):
-                if retrieval_flags[layer, h]:
-                    head_rank[layer, h] = r
-                    r += 1
-                else:
-                    head_rank[layer, h] = s
-                    s += 1
+            for b in range(tp_size):
+                r = s = 0
+                for h in range(b * block, (b + 1) * block):
+                    if retrieval_flags[layer, h]:
+                        head_rank[layer, h] = r
+                        r += 1
+                    else:
+                        head_rank[layer, h] = s
+                        s += 1
     return {
         "retrieval_flags": jnp.asarray(retrieval_flags),
         "head_rank": jnp.asarray(head_rank, jnp.int32),
@@ -485,7 +571,10 @@ def _layer_step(
         )
     attn = attn.reshape(t, spec.q_size)
     a_q, a_scale, a_sum = _act_quant(attn, spec)
-    h = h + _apply_linear(lp["o"], spec, a_q, a_scale, a_sum).astype(h.dtype)
+    o_out = _apply_linear(lp["o"], spec, a_q, a_scale, a_sum)
+    if spec.tp_axis is not None:
+        o_out = jax.lax.psum(o_out, spec.tp_axis)
+    h = h + o_out.astype(h.dtype)
 
     # -- MLP block --
     x_q, x_scale, x_sum = _norm_quant(h, lp["mlp_ln"], spec)
@@ -496,7 +585,10 @@ def _layer_step(
         )
     else:
         g_q, g_scale, g_sum = silu_and_mul(gate_up).astype(jnp.bfloat16), None, None
-    h = h + _apply_linear(lp["down"], spec, g_q, g_scale, g_sum).astype(h.dtype)
+    d_out = _apply_linear(lp["down"], spec, g_q, g_scale, g_sum)
+    if spec.tp_axis is not None:
+        d_out = jax.lax.psum(d_out, spec.tp_axis)
+    h = h + d_out.astype(h.dtype)
     return h, pools, page_idxes_l
 
 

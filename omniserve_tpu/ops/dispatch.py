@@ -28,15 +28,21 @@ def _on_tpu() -> bool:
 
 def prefill_attention(*args, **kwargs):
     if _on_tpu():
-        from omniserve_tpu.ops.pallas import flash_attention
+        try:
+            from omniserve_tpu.ops.pallas import flash_attention
 
-        return flash_attention.prefill_attention(*args, **kwargs)
+            return flash_attention.prefill_attention(*args, **kwargs)
+        except ImportError:
+            pass
     return attention_ref.prefill_attention(*args, **kwargs)
 
 
 def paged_decode_attention(*args, **kwargs):
     if _on_tpu():
-        from omniserve_tpu.ops.pallas import paged_attention
+        try:
+            from omniserve_tpu.ops.pallas import paged_attention
 
-        return paged_attention.paged_decode_attention(*args, **kwargs)
+            return paged_attention.paged_decode_attention(*args, **kwargs)
+        except ImportError:
+            pass
     return attention_ref.paged_decode_attention(*args, **kwargs)

@@ -77,13 +77,29 @@ class QuantizedWeightW8(NamedTuple):
     scales: jnp.ndarray     # [N] float32
 
 
-def pack_int4(w_u4: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+def pack_int4(w_u4: jnp.ndarray, axis: int = 0, shards: int = 1) -> jnp.ndarray:
     """Half-split nibble packing along ``axis`` (even size required).
 
     byte[i] = w[i] | (w[i + n/2] << 4), i < n/2.
+
+    ``shards > 1`` applies the half-split independently within each of
+    ``shards`` contiguous blocks, so that a tensor-parallel row shard of the
+    packed array unpacks to exactly its contiguous slice of original rows
+    (each rank then runs the ordinary unpack on its local block).
     """
     n = w_u4.shape[axis]
-    assert n % 2 == 0, f"pack axis must be even, got {n}"
+    assert n % (2 * shards) == 0, f"pack axis {n} not divisible by 2*{shards}"
+    if shards > 1:
+        block = n // shards
+        parts = [
+            pack_int4(
+                jnp.take(w_u4, jnp.arange(r * block, (r + 1) * block),
+                         axis=axis),
+                axis=axis,
+            )
+            for r in range(shards)
+        ]
+        return jnp.concatenate(parts, axis=axis)
     lo = jnp.take(w_u4, jnp.arange(n // 2), axis=axis).astype(jnp.uint8)
     hi = jnp.take(w_u4, jnp.arange(n // 2, n), axis=axis).astype(jnp.uint8)
     return (lo | (hi << 4)).astype(jnp.uint8)
@@ -100,6 +116,7 @@ def quantize_weight_per_channel(
     w: jnp.ndarray,
     s1_scales: Optional[jnp.ndarray] = None,
     zeros: Optional[jnp.ndarray] = None,
+    k_shards: int = 1,
 ) -> QuantizedWeightPerChannel:
     """Quantize fp weight [N(out), K(in)] to uint4 per-output-channel.
 
@@ -118,7 +135,7 @@ def quantize_weight_per_channel(
     w_u4 = _rint(w / s1_scales[:, None]) + zeros[:, None]
     w_u4 = jnp.clip(w_u4, 0, INT4_LEVELS).astype(jnp.uint8)
     # [N, K] -> [K, N] -> packed [K/2, N]
-    qweight = pack_int4(w_u4.T, axis=0)
+    qweight = pack_int4(w_u4.T, axis=0, shards=k_shards)
     return QuantizedWeightPerChannel(
         qweight=qweight,
         s1_scales=s1_scales.astype(jnp.float32),
@@ -132,6 +149,7 @@ def quantize_weight_per_group(
     s1_scales: Optional[jnp.ndarray] = None,
     s2_scales: Optional[jnp.ndarray] = None,
     zeros: Optional[jnp.ndarray] = None,
+    k_shards: int = 1,
 ) -> QuantizedWeightPerGroup:
     """Progressive W4 quantization of fp weight [N(out), K(in)].
 
@@ -160,7 +178,7 @@ def quantize_weight_per_group(
     w_u4 = _rint(wg / s2_scales[..., None]) + zeros[..., None]
     w_u4 = jnp.clip(w_u4, 0, INT4_LEVELS).astype(jnp.uint8)
     w_u4 = w_u4.reshape(n_out, k_in)
-    qweight = pack_int4(w_u4.T, axis=0)
+    qweight = pack_int4(w_u4.T, axis=0, shards=k_shards)
     # Layout [K/group, N] so the kernel indexes groups along the K axis.
     s2_scales_kn = s2_scales.T.astype(jnp.int8)
     s2_zeros_kn = (-zeros * s2_scales).T.astype(jnp.int8)
