@@ -215,9 +215,16 @@ _COL_PARALLEL = ("qkv", "gate_up")
 
 
 def quantize_layer_weights(
-    fp_layers: Dict[str, jnp.ndarray], spec: LlamaSpec, tp_size: int = 1
+    fp_layers: Dict[str, Any], spec: LlamaSpec, tp_size: int = 1
 ) -> Dict[str, Any]:
-    """Per-layer fp dict (each [L, N, K] stacked) -> quantized stacked."""
+    """Per-layer fp dict (each [L, N, K] stacked) -> quantized stacked.
+
+    Quantizes one layer at a time (host arrays sliced lazily) so the full
+    fp32 weight stack never materializes on device — only the packed
+    results are kept (8B params: ~60 GB fp32 vs ~4.5 GB packed).
+    """
+    import functools
+
     out = {}
     for name, w in fp_layers.items():
         if name in _ROW_PARALLEL:
@@ -225,42 +232,44 @@ def quantize_layer_weights(
         elif name in _COL_PARALLEL:
             shards = 1
         else:
-            out[name] = w
+            out[name] = jnp.asarray(w)
             continue
-        out[name] = jax.vmap(
-            lambda x, s=shards: _quantize_linear(x, spec, k_shards=s)
-        )(w)
+        fn = jax.jit(
+            functools.partial(_quantize_linear, spec=spec, k_shards=shards)
+        )
+        per_layer = [fn(jnp.asarray(w[layer])) for layer in range(len(w))]
+        if isinstance(per_layer[0], jnp.ndarray):
+            out[name] = jnp.stack(per_layer)
+        else:
+            out[name] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     return out
 
 
-def fuse_qkv_rank_major(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, tp_size: int = 1
-) -> jnp.ndarray:
+def fuse_qkv_rank_major(q, k, v, tp_size: int = 1) -> np.ndarray:
     """Fuse per-layer q/k/v [L, N_*, K] into [L, N_qkv, K] with output
     channels ordered [q_0|k_0|v_0|q_1|k_1|v_1|...] so a tp shard of the
-    fused output axis is exactly one rank's (q, k, v) slice."""
+    fused output axis is exactly one rank's (q, k, v) slice.
+    Host-side (numpy) — the result feeds the per-layer quantizer."""
     if tp_size == 1:
-        return jnp.concatenate([q, k, v], axis=1)
-    qs = jnp.split(q, tp_size, axis=1)
-    ks = jnp.split(k, tp_size, axis=1)
-    vs = jnp.split(v, tp_size, axis=1)
+        return np.concatenate([q, k, v], axis=1)
+    qs = np.split(q, tp_size, axis=1)
+    ks = np.split(k, tp_size, axis=1)
+    vs = np.split(v, tp_size, axis=1)
     parts = []
     for r in range(tp_size):
         parts.extend([qs[r], ks[r], vs[r]])
-    return jnp.concatenate(parts, axis=1)
+    return np.concatenate(parts, axis=1)
 
 
-def fuse_gate_up_rank_major(
-    gate: jnp.ndarray, up: jnp.ndarray, tp_size: int = 1
-) -> jnp.ndarray:
+def fuse_gate_up_rank_major(gate, up, tp_size: int = 1) -> np.ndarray:
     if tp_size == 1:
-        return jnp.concatenate([gate, up], axis=1)
-    gs = jnp.split(gate, tp_size, axis=1)
-    us = jnp.split(up, tp_size, axis=1)
+        return np.concatenate([gate, up], axis=1)
+    gs = np.split(gate, tp_size, axis=1)
+    us = np.split(up, tp_size, axis=1)
     parts = []
     for r in range(tp_size):
         parts.extend([gs[r], us[r]])
-    return jnp.concatenate(parts, axis=1)
+    return np.concatenate(parts, axis=1)
 
 
 def make_random_params(
@@ -282,13 +291,16 @@ def make_random_params(
     kv_size = spec.kv_size * tp_size
 
     def w(*shape, scale=0.02):
-        return jnp.asarray(
-            rng.normal(size=shape).astype(np.float32) * scale
-        )
+        # float32 numpy draws, kept on host; quantize_layer_weights moves
+        # one layer at a time to device (float64/full-stack would blow
+        # host+device memory at 8B params)
+        out = rng.standard_normal(size=shape, dtype=np.float32)
+        out *= scale
+        return out
 
     fp_layers = {
-        "attn_ln": jnp.ones((L, D), jnp.float32),
-        "mlp_ln": jnp.ones((L, D), jnp.float32),
+        "attn_ln": np.ones((L, D), np.float32),
+        "mlp_ln": np.ones((L, D), np.float32),
         "qkv": fuse_qkv_rank_major(
             w(L, q_size, D), w(L, kv_size, D), w(L, kv_size, D), tp_size
         ),
@@ -299,9 +311,9 @@ def make_random_params(
         "down": w(L, D, I),
     }
     params = {
-        "embed": w(spec.vocab, D).astype(jnp.bfloat16),
+        "embed": jnp.asarray(w(spec.vocab, D), jnp.bfloat16),
         "final_ln": jnp.ones((D,), jnp.float32),
-        "lm_head": w(D, spec.vocab).astype(jnp.bfloat16),
+        "lm_head": jnp.asarray(w(D, spec.vocab), jnp.bfloat16),
         "layers": quantize_layer_weights(fp_layers, spec, tp_size),
     }
     params["attn_meta"] = make_attn_meta(
