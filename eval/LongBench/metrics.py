@@ -1,0 +1,119 @@
+"""LongBench task metrics (fresh implementations of the standard set).
+
+Same metric suite as the reference ``eval/LongBench/metrics.py``:
+qa_f1, rouge-l, classification accuracy, retrieval/count accuracy,
+code similarity (reference metrics.py:111-153).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections import Counter
+from typing import List
+
+
+def normalize_answer(s: str) -> str:
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def _f1(pred_tokens: List[str], gold_tokens: List[str]) -> float:
+    common = Counter(pred_tokens) & Counter(gold_tokens)
+    overlap = sum(common.values())
+    if overlap == 0:
+        return 0.0
+    precision = overlap / len(pred_tokens)
+    recall = overlap / len(gold_tokens)
+    return 2 * precision * recall / (precision + recall)
+
+
+def qa_f1_score(prediction: str, ground_truth: str, **kw) -> float:
+    p = normalize_answer(prediction).split()
+    g = normalize_answer(ground_truth).split()
+    if not p or not g:
+        return float(p == g)
+    return _f1(p, g)
+
+
+def _lcs(a: List[str], b: List[str]) -> int:
+    dp = [0] * (len(b) + 1)
+    for x in a:
+        prev = 0
+        for j, y in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if x == y else max(dp[j], dp[j - 1])
+            prev = cur
+    return dp[-1]
+
+
+def rouge_score(prediction: str, ground_truth: str, **kw) -> float:
+    """ROUGE-L F1."""
+    p = normalize_answer(prediction).split()
+    g = normalize_answer(ground_truth).split()
+    if not p or not g:
+        return 0.0
+    lcs = _lcs(p, g)
+    if lcs == 0:
+        return 0.0
+    prec = lcs / len(p)
+    rec = lcs / len(g)
+    return 2 * prec * rec / (prec + rec)
+
+
+def classification_score(prediction: str, ground_truth: str,
+                         all_classes=None, **kw) -> float:
+    em_matches = [
+        c for c in (all_classes or []) if c.lower() in prediction.lower()
+    ]
+    gt = ground_truth.lower()
+    if gt in prediction.lower():
+        # penalize predicting several classes
+        return 1.0 / max(len(em_matches), 1)
+    return 0.0
+
+
+def retrieval_score(prediction: str, ground_truth: str, **kw) -> float:
+    m = re.findall(r"\d+", ground_truth)
+    gt_num = m[0] if m else normalize_answer(ground_truth)
+    return float(gt_num in re.findall(r"\d+", prediction))
+
+
+def count_score(prediction: str, ground_truth: str, **kw) -> float:
+    nums = re.findall(r"\d+", prediction)
+    return float(str(ground_truth).strip() in nums)
+
+
+def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:
+    pred_line = ""
+    for line in prediction.lstrip("\n").split("\n"):
+        if line.strip():
+            pred_line = line
+            break
+    p = pred_line.split()
+    g = ground_truth.split()
+    if not p or not g:
+        return 0.0
+    return _f1(p, g)
+
+
+DATASET2METRIC = {
+    "narrativeqa": qa_f1_score,
+    "qasper": qa_f1_score,
+    "multifieldqa_en": qa_f1_score,
+    "hotpotqa": qa_f1_score,
+    "2wikimqa": qa_f1_score,
+    "musique": qa_f1_score,
+    "gov_report": rouge_score,
+    "qmsum": rouge_score,
+    "multi_news": rouge_score,
+    "trec": classification_score,
+    "triviaqa": qa_f1_score,
+    "samsum": rouge_score,
+    "passage_retrieval_en": retrieval_score,
+    "passage_count": count_score,
+    "lcc": code_sim_score,
+    "repobench-p": code_sim_score,
+}
