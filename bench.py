@@ -24,7 +24,7 @@ def main() -> None:
         DecodeBatch,
         LlamaSpec,
         llama_forward,
-        make_random_params,
+        make_random_packed_params,
     )
     from omniserve_tpu.ops.paged_kv import make_kv_pool
 
@@ -52,7 +52,7 @@ def main() -> None:
     num_pages = batch * blocks_per_seq + 1
 
     t0 = time.time()
-    params = make_random_params(spec, seed=0)
+    params = make_random_packed_params(spec, seed=0)
     pool = make_kv_pool(
         spec.num_layers, num_pages, spec.num_kv_heads, spec.page_size,
         spec.head_dim, kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
@@ -80,28 +80,31 @@ def main() -> None:
 
     import functools
 
-    fwd = jax.jit(
-        functools.partial(llama_forward, spec=spec, is_prefill=False),
-        donate_argnums=(1,),
-    )
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(params, pool, batch_dev):
+        # Everything device-side lives INSIDE one jitted program: eager ops
+        # between steps cost ~20 ms each on a remote-attached TPU.
+        logits, pool, _, _ = llama_forward(
+            params, pool, None, batch_dev, spec=spec, is_prefill=False
+        )
+        toks = jnp.argmax(logits[:, :1000], axis=-1).astype(jnp.int32)
+        nxt = batch_dev._replace(
+            token_ids=toks, positions=batch_dev.positions + 1
+        )
+        return nxt, pool
 
     # warmup / compile
     t0 = time.time()
-    positions = jnp.full((batch,), ctx, jnp.int32)
     batch_dev = make_batch(ctx)
-    logits, pool, _, _ = fwd(params, pool, None, batch_dev)
-    jax.block_until_ready(logits)
+    batch_dev, pool = step(params, pool, batch_dev)
+    jax.block_until_ready(batch_dev.token_ids)
     t_compile = time.time() - t0
 
     # timed decode loop (positions advance; same compiled program)
     t0 = time.time()
     for i in range(steps):
-        batch_dev = batch_dev._replace(
-            positions=positions + (i + 1),
-            token_ids=jnp.argmax(logits[:, :1000], axis=-1).astype(jnp.int32),
-        )
-        logits, pool, _, _ = fwd(params, pool, None, batch_dev)
-    jax.block_until_ready(logits)
+        batch_dev, pool = step(params, pool, batch_dev)
+    jax.block_until_ready(batch_dev.token_ids)
     dt = time.time() - t0
 
     toks_per_s = batch * steps / dt

@@ -272,6 +272,93 @@ def fuse_gate_up_rank_major(gate, up, tp_size: int = 1) -> np.ndarray:
     return np.concatenate(parts, axis=1)
 
 
+def _random_packed_linear(key, n_out: int, k_in: int, spec: LlamaSpec):
+    """Random weights directly in PACKED quantized form, on device.
+
+    The 'dummy' load format only needs plausible magnitudes, so skip the
+    fp32 draw + quantize pass entirely (an 8B model takes ~30 GB of host
+    draws otherwise). Scale chosen so dequantized weights have std ~0.02.
+    """
+    from omniserve_tpu.ops.quantization import (
+        QuantizedWeightPerChannel,
+        QuantizedWeightPerGroup,
+        QuantizedWeightW8,
+    )
+
+    k1, k2_, k3 = jax.random.split(key, 3)
+    if spec.weight_bits == 4:
+        qweight = jax.random.randint(
+            k1, (k_in // 2, n_out), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+        s1 = jax.random.uniform(k2_, (n_out,), jnp.float32, 0.003, 0.006)
+        if spec.group_size == -1:
+            return QuantizedWeightPerChannel(
+                qweight=qweight, s1_scales=s1, s1_szeros=8.0 * s1
+            )
+        g = k_in // spec.group_size
+        s2 = jax.random.randint(k3, (g, n_out), 1, 4, jnp.int32).astype(
+            jnp.int8
+        )
+        return QuantizedWeightPerGroup(
+            qweight=qweight, s1_scales=s1, s2_scales=s2,
+            s2_zeros=(-8 * s2.astype(jnp.int32)).astype(jnp.int8),
+        )
+    if spec.weight_bits == 8:
+        qweight = jax.random.randint(
+            k1, (k_in, n_out), -128, 128, jnp.int32
+        ).astype(jnp.int8)
+        s1 = jax.random.uniform(k2_, (n_out,), jnp.float32, 0.0003, 0.0006)
+        return QuantizedWeightW8(qweight=qweight, scales=s1)
+    return (jax.random.normal(k1, (k_in, n_out), jnp.bfloat16) * 0.02)
+
+
+def make_random_packed_params(
+    spec: LlamaSpec, seed: int = 0,
+    retrieval_flags: Optional[np.ndarray] = None,
+    head_rank: Optional[np.ndarray] = None,
+    tp_size: int = 1,
+) -> Dict[str, Any]:
+    """Device-side random packed params — seconds instead of tens of
+    minutes for an 8B model. Semantics-free (benchmarks only)."""
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, 8)
+    L, D = spec.num_layers, spec.hidden
+    I = spec.intermediate * tp_size
+    q_size, kv_size = spec.q_size * tp_size, spec.kv_size * tp_size
+    qkv_out = q_size + 2 * kv_size
+
+    def stack(key_, n_out, k_in):
+        ks = jax.random.split(key_, L)
+        mk = jax.jit(
+            _random_packed_linear, static_argnums=(1, 2),
+            static_argnames=("spec",),
+        )
+        per = [mk(ks[i], n_out, k_in, spec=spec) for i in range(L)]
+        if isinstance(per[0], jnp.ndarray):
+            return jnp.stack(per)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+    layers = {
+        "attn_ln": jnp.ones((L, D), jnp.float32),
+        "mlp_ln": jnp.ones((L, D), jnp.float32),
+        "qkv": stack(keys[0], qkv_out, D),
+        "o": stack(keys[1], D, q_size),
+        "gate_up": stack(keys[2], 2 * I, D),
+        "down": stack(keys[3], D, I),
+    }
+    params = {
+        "embed": jax.random.normal(keys[4], (spec.vocab, D), jnp.bfloat16)
+        * 0.02,
+        "final_ln": jnp.ones((D,), jnp.float32),
+        "lm_head": jax.random.normal(keys[5], (D, spec.vocab), jnp.bfloat16)
+        * 0.02,
+        "layers": layers,
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank,
+                                    tp_size),
+    }
+    return params
+
+
 def make_random_params(
     spec: LlamaSpec, seed: int = 0,
     retrieval_flags: Optional[np.ndarray] = None,
@@ -474,7 +561,7 @@ def _split_qkv(qkv, spec: LlamaSpec, t):
 
 def _write_kv(
     pools, layer, k, v, pages_r, slots_r, pages_s, slots_s, meta_l, spec,
-    update_stats: bool,
+    update_stats: bool, unique_pages: bool = False,
 ):
     """Quantize + scatter K/V into both pools for one layer."""
     retrieval_pool, streaming_pool = pools
@@ -490,6 +577,7 @@ def _write_kv(
     retrieval_pool = append_kv(
         retrieval_pool, layer, k[:, src_r], v[:, src_r], pages_r, slots_r,
         spec.page_size, spec.kv_bits, spec.kv_zeros,
+        unique_pages=unique_pages,
     )
     if update_stats and retrieval_pool.k_stats is not None:
         retrieval_pool = update_k_stats(
@@ -504,13 +592,33 @@ def _write_kv(
         streaming_pool = append_kv(
             streaming_pool, layer, k[:, src_s], v[:, src_s], pages_s,
             slots_s, spec.page_size, spec.kv_bits, spec.kv_zeros,
+            unique_pages=unique_pages,
         )
     return retrieval_pool, streaming_pool
+
+
+def _dense_mlp(h, lp, spec: LlamaSpec):
+    """The standard Llama SwiGLU MLP (pre-norm, quantized, residual)."""
+    x_q, x_scale, x_sum = _norm_quant(h, lp["mlp_ln"], spec)
+    gate_up = _apply_linear(lp["gate_up"], spec, x_q, x_scale, x_sum)
+    if spec.quantized_acts:
+        g_q, g_scale, g_sum = silu_and_mul_quant(
+            gate_up, fuse_sum=spec.needs_act_sums
+        )
+    else:
+        g_q, g_scale, g_sum = (
+            silu_and_mul(gate_up).astype(jnp.bfloat16), None, None
+        )
+    d_out = _apply_linear(lp["down"], spec, g_q, g_scale, g_sum)
+    if spec.tp_axis is not None:
+        d_out = jax.lax.psum(d_out, spec.tp_axis)
+    return h + d_out.astype(h.dtype)
 
 
 def _layer_step(
     h, pools, layer_idx, lp, meta_l, inv_freq, spec: LlamaSpec,
     is_prefill: bool, batch, page_io, use_sparse: bool = False,
+    mlp_fn=_dense_mlp,
 ):
     """One transformer layer. h: [T, D] bf16 residual stream.
 
@@ -543,7 +651,7 @@ def _layer_step(
 
     pools = _write_kv(
         pools, layer_idx, k, v, pages_r, slots_r, pages_s, slots_s, meta_l,
-        spec, update_stats=spec.sparse_decode,
+        spec, update_stats=spec.sparse_decode, unique_pages=not is_prefill,
     )
     retrieval_pool, streaming_pool = pools
 
@@ -588,19 +696,8 @@ def _layer_step(
         o_out = jax.lax.psum(o_out, spec.tp_axis)
     h = h + o_out.astype(h.dtype)
 
-    # -- MLP block --
-    x_q, x_scale, x_sum = _norm_quant(h, lp["mlp_ln"], spec)
-    gate_up = _apply_linear(lp["gate_up"], spec, x_q, x_scale, x_sum)
-    if spec.quantized_acts:
-        g_q, g_scale, g_sum = silu_and_mul_quant(
-            gate_up, fuse_sum=spec.needs_act_sums
-        )
-    else:
-        g_q, g_scale, g_sum = silu_and_mul(gate_up).astype(jnp.bfloat16), None, None
-    d_out = _apply_linear(lp["down"], spec, g_q, g_scale, g_sum)
-    if spec.tp_axis is not None:
-        d_out = jax.lax.psum(d_out, spec.tp_axis)
-    h = h + d_out.astype(h.dtype)
+    # -- MLP block (dense SwiGLU, or MoE when mlp_fn is overridden) --
+    h = mlp_fn(h, lp, spec)
     return h, pools, page_idxes_l
 
 
@@ -628,6 +725,7 @@ def llama_forward(
     batch,
     spec: LlamaSpec,
     is_prefill: bool,
+    mlp_fn=_dense_mlp,
 ) -> Tuple[jnp.ndarray, KVPool, Optional[KVPool], Optional[jnp.ndarray]]:
     """Returns (last-token logits [B, V], pools..., new_page_idxes|None)."""
     h = params["embed"][batch.token_ids].astype(jnp.bfloat16)  # [T, D]
@@ -651,7 +749,7 @@ def llama_forward(
         meta_l = {"retrieval_flags": flags_l, "head_rank": rank_l}
         h2, (rpool, spool), page_idxes_l = _layer_step(
             h, (rpool, spool), layer_idx, lp, meta_l, inv_freq, spec,
-            is_prefill, batch, page_io, use_sparse,
+            is_prefill, batch, page_io, use_sparse, mlp_fn=mlp_fn,
         )
         return (h2, rpool, spool), page_idxes_l
 

@@ -1,0 +1,291 @@
+"""Mixtral (sparse MoE) family, quantized TPU-native.
+
+Implements what the reference only stubs: its MixtralSparseMoeBlockOurs
+raises NotImplementedError at mixtral_w4a8_unpad.py:309 and the grouped
+W4A8 GEMM is unreleased (w4a8_moe_linear.py:83-94). We keep the reference's
+routing semantics (fp16 router -> top-k -> renormalize,
+mixtral_w4a8_unpad.py:257-330) and the reference's per-expert weight
+layout/loader contract (w1=gate, w3=up fused like gate_up; w2=down,
+mixtral_w4a8_unpad.py:709+), but execute experts with static-capacity
+batched int8 contractions (ops/moe.py) instead of CUTLASS grouped GEMM.
+
+The transformer trunk (attention, paged quantized KV, scan-over-layers) is
+shared with the Llama module — only the MLP block differs (llama_forward's
+``mlp_fn`` hook).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omniserve_tpu.models import llama as llama_mod
+from omniserve_tpu.models.llama import (
+    LlamaSpec,
+    make_attn_meta,
+)
+from omniserve_tpu.ops import moe as moe_ops
+from omniserve_tpu.ops.activation import silu_and_mul, silu_and_mul_quant
+from omniserve_tpu.ops.norms import rms_norm
+from omniserve_tpu.ops.quantization import (
+    quantize_activations,
+    quantize_weight_per_channel,
+    quantize_weight_per_group,
+    quantize_weight_w8,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralSpec(LlamaSpec):
+    num_experts: int = 8
+    top_k: int = 2
+    # capacity per expert = ceil(T * top_k / E * factor), multiple of 8
+    capacity_factor: float = 2.0
+
+    @classmethod
+    def from_model_config(cls, model_config, sp_attn_config=None,
+                          tp_size: int = 1, page_size: int = 64):
+        base = LlamaSpec.from_model_config(
+            model_config, sp_attn_config, tp_size, page_size
+        )
+        hf = model_config.hf_config
+        return cls(
+            **dataclasses.asdict(base),
+            num_experts=getattr(hf, "num_local_experts", 8),
+            top_k=getattr(hf, "num_experts_per_tok", 2),
+        )
+
+
+def moe_capacity(spec: MixtralSpec, t: int) -> int:
+    c = int(np.ceil(t * spec.top_k / spec.num_experts
+                    * spec.capacity_factor))
+    return max(8, -(-c // 8) * 8)
+
+
+def _expert_bmm(weight, spec: MixtralSpec, x_q, x_scale=None, x_sum=None):
+    """Batched per-expert linear; mirrors llama._apply_linear."""
+    if spec.weight_bits == 4 and spec.group_size == -1:
+        return moe_ops.w4a8_bmm_per_channel(
+            x_q, weight.qweight, weight.s1_scales, weight.s1_szeros,
+            x_scale, x_sum,
+        )
+    if spec.weight_bits == 4:
+        return moe_ops.w4a8_bmm_per_group(
+            x_q, weight.qweight, weight.s1_scales, weight.s2_scales,
+            weight.s2_zeros, x_scale, group_size=spec.group_size,
+        )
+    if spec.weight_bits == 8:
+        return moe_ops.w8a8_bmm(x_q, weight.qweight, weight.scales, x_scale)
+    return moe_ops.bf16_bmm(x_q, weight)
+
+
+def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec):
+    """Pre-norm MoE block: route -> dispatch -> expert SwiGLU -> combine."""
+    t = h.shape[0]
+    e, k = spec.num_experts, spec.top_k
+    capacity = moe_capacity(spec, t)
+
+    x_n = rms_norm(h, lp["mlp_ln"], spec.rms_eps).astype(jnp.bfloat16)
+    logits = jnp.dot(x_n, lp["gate"], preferred_element_type=jnp.float32)
+    routing = moe_ops.route_topk(logits, k, capacity)
+
+    if spec.quantized_acts:
+        a_i8, a_scale, a_sum = quantize_activations(
+            x_n, fuse_sum=spec.needs_act_sums
+        )
+        x_d = moe_ops.dispatch(a_i8, routing, e, capacity)
+        s_d = moe_ops.dispatch_rows(a_scale, routing, e, capacity)
+        sum_d = (moe_ops.dispatch_rows(a_sum, routing, e, capacity)
+                 if a_sum is not None else None)
+    else:
+        x_d = moe_ops.dispatch(x_n, routing, e, capacity)
+        s_d = sum_d = None
+
+    gate_up = _expert_bmm(lp["w13"], spec, x_d, s_d, sum_d)  # [E, C, 2I']
+    ec = e * capacity
+    gu_flat = gate_up.reshape(ec, -1)
+    if spec.quantized_acts:
+        g_q, g_scale, g_sum = silu_and_mul_quant(
+            gu_flat, fuse_sum=spec.needs_act_sums
+        )
+        g_q = g_q.reshape(e, capacity, -1)
+        g_scale = g_scale.reshape(e, capacity)
+        g_sum = g_sum.reshape(e, capacity) if g_sum is not None else None
+    else:
+        g_q = silu_and_mul(gu_flat).astype(jnp.bfloat16).reshape(
+            e, capacity, -1
+        )
+        g_scale = g_sum = None
+    down = _expert_bmm(lp["w2"], spec, g_q, g_scale, g_sum)  # [E, C, D]
+    y = moe_ops.combine(down, routing, t)
+    if spec.tp_axis is not None:
+        y = jax.lax.psum(y, spec.tp_axis)
+    return h + y.astype(h.dtype)
+
+
+def mixtral_forward(params, retrieval_pool, streaming_pool, batch,
+                    spec: MixtralSpec, is_prefill: bool):
+    return llama_mod.llama_forward(
+        params, retrieval_pool, streaming_pool, batch, spec=spec,
+        is_prefill=is_prefill, mlp_fn=moe_mlp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def _quantize_expert_stack(w_fp: np.ndarray, spec: MixtralSpec):
+    """[L, E, N, K] fp -> quantized container with leading [L, E] dims."""
+    per = []
+    for layer in range(w_fp.shape[0]):
+        row = []
+        for ex in range(w_fp.shape[1]):
+            w = jnp.asarray(w_fp[layer, ex])
+            if spec.weight_bits == 4 and spec.group_size == -1:
+                row.append(quantize_weight_per_channel(w))
+            elif spec.weight_bits == 4:
+                row.append(
+                    quantize_weight_per_group(w, group_size=spec.group_size)
+                )
+            elif spec.weight_bits == 8:
+                row.append(quantize_weight_w8(w))
+            else:
+                row.append(w.T.astype(jnp.bfloat16))
+        if isinstance(row[0], jnp.ndarray):
+            per.append(jnp.stack(row))
+        else:
+            per.append(jax.tree.map(lambda *xs: jnp.stack(xs), *row))
+    if isinstance(per[0], jnp.ndarray):
+        return jnp.stack(per)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+
+def make_random_params(
+    spec: MixtralSpec, seed: int = 0,
+    retrieval_flags: Optional[np.ndarray] = None,
+    head_rank: Optional[np.ndarray] = None,
+) -> Dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    L, D, I, E = (spec.num_layers, spec.hidden, spec.intermediate,
+                  spec.num_experts)
+
+    def w(*shape, scale=0.02):
+        return (rng.standard_normal(size=shape, dtype=np.float32) * scale)
+
+    dense = {
+        "attn_ln": np.ones((L, D), np.float32),
+        "mlp_ln": np.ones((L, D), np.float32),
+        "qkv": w(L, spec.qkv_out, D),
+        "o": w(L, D, spec.q_size),
+    }
+    layers = llama_mod.quantize_layer_weights(
+        {k: v for k, v in dense.items() if k in ("qkv", "o")}, spec
+    )
+    layers["attn_ln"] = jnp.asarray(dense["attn_ln"])
+    layers["mlp_ln"] = jnp.asarray(dense["mlp_ln"])
+    layers["gate"] = jnp.asarray(w(L, D, E), jnp.bfloat16)
+    layers["w13"] = _quantize_expert_stack(w(L, E, 2 * I, D), spec)
+    layers["w2"] = _quantize_expert_stack(w(L, E, D, I), spec)
+    params = {
+        "embed": jnp.asarray(w(spec.vocab, D), jnp.bfloat16),
+        "final_ln": jnp.ones((D,), jnp.float32),
+        "lm_head": jnp.asarray(w(D, spec.vocab), jnp.bfloat16),
+        "layers": layers,
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
+    }
+    return params
+
+
+def load_mixtral_params(model_config, spec: MixtralSpec,
+                        retrieval_flags=None, head_rank=None):
+    """HF Mixtral checkpoint -> quantized stacked params.
+
+    Expert weights live at
+    ``model.layers.{i}.block_sparse_moe.experts.{e}.w{1,2,3}.weight`` and the
+    router at ``...block_sparse_moe.gate.weight`` (same contract the
+    reference loader walks, mixtral_w4a8_unpad.py:709+); w1=gate / w3=up are
+    fused into w13 = [gate; up] like the dense gate_up fusion.
+    """
+    from omniserve_tpu.models.weight_loader import (
+        _iter_hf_weights,
+        _resolve_path,
+    )
+
+    path = _resolve_path(model_config.quant_path or model_config.model)
+    L, D, I, E = (spec.num_layers, spec.hidden, spec.intermediate,
+                  spec.num_experts)
+    q = np.zeros((L, spec.q_size, D), np.float32)
+    k = np.zeros((L, spec.kv_size, D), np.float32)
+    v = np.zeros((L, spec.kv_size, D), np.float32)
+    o = np.zeros((L, D, spec.q_size), np.float32)
+    gate_r = np.zeros((L, D, E), np.float32)
+    w1 = np.zeros((L, E, I, D), np.float32)
+    w2 = np.zeros((L, E, D, I), np.float32)
+    w3 = np.zeros((L, E, I, D), np.float32)
+    attn_ln = np.ones((L, D), np.float32)
+    mlp_ln = np.ones((L, D), np.float32)
+    embed = lm_head = None
+    final_ln = np.ones((D,), np.float32)
+
+    def layer_of(name):
+        return int(name.split("layers.")[1].split(".")[0])
+
+    def expert_of(name):
+        return int(name.split("experts.")[1].split(".")[0])
+
+    for name, wt in _iter_hf_weights(path):
+        wt = np.asarray(wt, np.float32)
+        if "embed_tokens" in name:
+            embed = wt
+        elif "lm_head" in name:
+            lm_head = wt
+        elif name.endswith("model.norm.weight"):
+            final_ln = wt
+        elif "input_layernorm" in name:
+            attn_ln[layer_of(name)] = wt
+        elif "post_attention_layernorm" in name:
+            mlp_ln[layer_of(name)] = wt
+        elif "q_proj.weight" in name:
+            q[layer_of(name)] = wt
+        elif "k_proj.weight" in name:
+            k[layer_of(name)] = wt
+        elif "v_proj.weight" in name:
+            v[layer_of(name)] = wt
+        elif "o_proj.weight" in name:
+            o[layer_of(name)] = wt
+        elif "block_sparse_moe.gate.weight" in name:
+            gate_r[layer_of(name)] = wt.T
+        elif ".w1.weight" in name:
+            w1[layer_of(name), expert_of(name)] = wt
+        elif ".w2.weight" in name:
+            w2[layer_of(name), expert_of(name)] = wt
+        elif ".w3.weight" in name:
+            w3[layer_of(name), expert_of(name)] = wt
+    assert embed is not None
+    if lm_head is None:
+        lm_head = embed
+
+    layers = llama_mod.quantize_layer_weights(
+        {"qkv": np.concatenate([q, k, v], axis=1), "o": o}, spec
+    )
+    layers["attn_ln"] = jnp.asarray(attn_ln)
+    layers["mlp_ln"] = jnp.asarray(mlp_ln)
+    layers["gate"] = jnp.asarray(gate_r, jnp.bfloat16)
+    layers["w13"] = _quantize_expert_stack(
+        np.concatenate([w1, w3], axis=2), spec
+    )
+    layers["w2"] = _quantize_expert_stack(w2, spec)
+    params = {
+        "embed": jnp.asarray(embed).astype(jnp.bfloat16),
+        "final_ln": jnp.asarray(final_ln),
+        "lm_head": jnp.asarray(lm_head.T).astype(jnp.bfloat16),
+        "layers": layers,
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
+    }
+    return params, None

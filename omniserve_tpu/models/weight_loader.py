@@ -67,6 +67,62 @@ def _resolve_path(model: str) -> str:
     )
 
 
+_QUANT_FIELDS = ("qweight", "s1_scales", "s1_szeros", "s2_scales",
+                 "s2_zeros", "scales")
+
+
+def load_packed_params(
+    path: str,
+    spec: LlamaSpec,
+    retrieval_flags: Optional[np.ndarray] = None,
+    head_rank: Optional[np.ndarray] = None,
+) -> Tuple[Dict[str, Any], Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Load a packed.npz checkpoint produced by scripts/ckpt_converter.
+
+    The arrays are already in the TPU packing; no re-quantization happens
+    at load (the fast path for production startup).
+    """
+    from omniserve_tpu.ops.quantization import (
+        QuantizedWeightPerChannel,
+        QuantizedWeightPerGroup,
+        QuantizedWeightW8,
+    )
+
+    z = np.load(os.path.join(path, "packed.npz"))
+    meta = json.load(open(os.path.join(path, "omniserve_tpu.json")))
+    layers: Dict[str, Any] = {
+        "attn_ln": jnp.asarray(z["attn_ln"]),
+        "mlp_ln": jnp.asarray(z["mlp_ln"]),
+    }
+    for name in ("qkv", "o", "gate_up", "down"):
+        fields = {
+            f: jnp.asarray(z[f"{name}.{f}"])
+            for f in _QUANT_FIELDS if f"{name}.{f}" in z
+        }
+        if meta["weight_bits"] == 8:
+            layers[name] = QuantizedWeightW8(**fields)
+        elif meta["group_size"] == -1:
+            layers[name] = QuantizedWeightPerChannel(**fields)
+        else:
+            layers[name] = QuantizedWeightPerGroup(**fields)
+    embed = jnp.asarray(z["embed"]).astype(jnp.bfloat16)
+    lm_head = (jnp.asarray(z["lm_head"]) if "lm_head" in z
+               else jnp.asarray(z["embed"])).T.astype(jnp.bfloat16)
+    params = {
+        "embed": embed,
+        "final_ln": jnp.asarray(z["final_ln"]),
+        "lm_head": lm_head,
+        "layers": layers,
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
+    }
+    kv_scales = None
+    if "kv_pt_scales" in z:
+        pt = jnp.asarray(z["kv_pt_scales"])  # [L, 2]
+        kv_scales = (pt[:, 0], pt[:, 1])
+    logger.info("loaded packed checkpoint from %s", path)
+    return params, kv_scales
+
+
 def load_llama_params(
     model_config: ModelConfig,
     spec: LlamaSpec,
@@ -75,6 +131,8 @@ def load_llama_params(
 ) -> Tuple[Dict[str, Any], Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Returns (params, (k_pt_scales, v_pt_scales) or None)."""
     path = _resolve_path(model_config.quant_path or model_config.model)
+    if os.path.exists(os.path.join(path, "packed.npz")):
+        return load_packed_params(path, spec, retrieval_flags, head_rank)
     L, D, I = spec.num_layers, spec.hidden, spec.intermediate
 
     # collect per-layer fp weights

@@ -238,7 +238,7 @@ def paged_decode_attention(
 
 def page_selector_scores(
     q: jnp.ndarray,           # [B, Hq, D] current queries (post-RoPE)
-    k_stats: jnp.ndarray,     # [L, P, Hr, n_sub, 2, D] pool stats
+    k_stats: jnp.ndarray,     # [L, P, Hr, n_sub*2, D] pool stats
     layer: int,
     block_tables: jnp.ndarray,  # [B, max_blocks]
     head_is_retrieval: jnp.ndarray,  # [Hkv]
@@ -253,9 +253,9 @@ def page_selector_scores(
     b, hq, d = q.shape
     hkv = head_is_retrieval.shape[0]
     n_rep = hq // hkv
-    stats = k_stats[layer][block_tables]  # [B, max_b, Hr, n_sub, 2, D]
-    kmin = stats[..., 0, :]
-    kmax = stats[..., 1, :]
+    stats = k_stats[layer][block_tables]  # [B, max_b, Hr, n_sub*2, D]
+    kmin = stats[..., 0::2, :]
+    kmax = stats[..., 1::2, :]
     qf = q.astype(jnp.float32).reshape(b, hkv, n_rep, d)
     ranks = head_rank  # [Hkv]
     kmin_h = kmin[:, :, ranks]  # [B, max_b, Hkv, n_sub, D]

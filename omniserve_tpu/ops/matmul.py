@@ -23,6 +23,7 @@ Epilogue contracts (see quantization.py for symbol definitions):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -33,6 +34,27 @@ from omniserve_tpu.ops.quantization import (
     QuantizedWeightPerGroup,
     QuantizedWeightW8,
 )
+
+_FORCE_REFERENCE = os.environ.get("OMNISERVE_TPU_DISABLE_PALLAS", "0") == "1"
+
+
+def _use_pallas(k2: int, n: int, group_size: int = 0) -> bool:
+    """Pallas quantized GEMM on TPU when the K/N tiling divides evenly."""
+    if _FORCE_REFERENCE:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    from omniserve_tpu.ops.pallas.quant_matmul import _pick_tile
+
+    if group_size > 0:
+        if _pick_tile(k2, 512, group_size) is None:
+            return False
+    elif _pick_tile(k2, 512, 128) is None and _pick_tile(k2, 512, 64) is None:
+        return False
+    return _pick_tile(n, 256, 128) is not None
 
 
 def _int8_matmul(a_i8: jnp.ndarray, w_i8: jnp.ndarray) -> jnp.ndarray:
@@ -53,7 +75,7 @@ def _unpack_halves(qweight: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @partial(jax.jit, static_argnames=("out_dtype",))
-def w4a8_matmul_per_channel(
+def w4a8_matmul_per_channel_ref(
     a_i8: jnp.ndarray,        # [M, K] int8
     qweight: jnp.ndarray,     # [K/2, N] uint8 (half-split packed uint4)
     s1_scales: jnp.ndarray,   # [N] f32
@@ -73,7 +95,7 @@ def w4a8_matmul_per_channel(
 
 
 @partial(jax.jit, static_argnames=("group_size", "out_dtype"))
-def w4a8_matmul_per_group(
+def w4a8_matmul_per_group_ref(
     a_i8: jnp.ndarray,        # [M, K] int8
     qweight: jnp.ndarray,     # [K/2, N] uint8
     s1_scales: jnp.ndarray,   # [N] f32
@@ -100,7 +122,7 @@ def w4a8_matmul_per_group(
 
 
 @partial(jax.jit, static_argnames=("out_dtype",))
-def w8a8_matmul(
+def w8a8_matmul_ref(
     a_i8: jnp.ndarray,       # [M, K] int8
     qweight: jnp.ndarray,    # [K, N] int8
     w_scales: jnp.ndarray,   # [N] f32
@@ -110,6 +132,56 @@ def w8a8_matmul(
     psum = _int8_matmul(a_i8, qweight)
     out = psum.astype(jnp.float32) * w_scales[None, :] * a_scale[:, None]
     return out.astype(out_dtype)
+
+
+# -- public entry points: Pallas on TPU (in-VMEM nibble unpack), jnp ref
+# elsewhere or when the shape doesn't tile evenly ---------------------------
+
+
+def w4a8_matmul_per_channel(
+    a_i8, qweight, s1_scales, s1_szeros, a_scale, a_sum,
+    out_dtype=jnp.bfloat16,
+):
+    if _use_pallas(qweight.shape[0], qweight.shape[1]):
+        from omniserve_tpu.ops.pallas import quant_matmul
+
+        return quant_matmul.w4a8_matmul_per_channel(
+            a_i8, qweight, s1_scales, s1_szeros, a_scale, a_sum,
+            out_dtype=out_dtype,
+        )
+    return w4a8_matmul_per_channel_ref(
+        a_i8, qweight, s1_scales, s1_szeros, a_scale, a_sum,
+        out_dtype=out_dtype,
+    )
+
+
+def w4a8_matmul_per_group(
+    a_i8, qweight, s1_scales, s2_scales, s2_zeros, a_scale,
+    group_size=128, out_dtype=jnp.bfloat16,
+):
+    if _use_pallas(qweight.shape[0], qweight.shape[1], group_size):
+        from omniserve_tpu.ops.pallas import quant_matmul
+
+        return quant_matmul.w4a8_matmul_per_group(
+            a_i8, qweight, s1_scales, s2_scales, s2_zeros, a_scale,
+            group_size=group_size, out_dtype=out_dtype,
+        )
+    return w4a8_matmul_per_group_ref(
+        a_i8, qweight, s1_scales, s2_scales, s2_zeros, a_scale,
+        group_size=group_size, out_dtype=out_dtype,
+    )
+
+
+def w8a8_matmul(a_i8, qweight, w_scales, a_scale, out_dtype=jnp.bfloat16):
+    k, n = qweight.shape
+    if _use_pallas(k // 2, n):
+        from omniserve_tpu.ops.pallas import quant_matmul
+
+        return quant_matmul.w8a8_matmul(
+            a_i8, qweight, w_scales, a_scale, out_dtype=out_dtype
+        )
+    return w8a8_matmul_ref(a_i8, qweight, w_scales, a_scale,
+                           out_dtype=out_dtype)
 
 
 def quantized_matmul(a_i8, weight, a_scale, a_sum=None, group_size=-1,

@@ -38,18 +38,50 @@ from omniserve_tpu.ops.quantization import (
 
 
 class KVPool(NamedTuple):
-    """One KV pool (all layers). Optional fields are None when unused."""
+    """One KV pool (all layers). Optional fields are None when unused.
+
+    The four fine-grained quant-param planes live INTERLEAVED in one array
+    ``kv_scales[L, P, H, 4, page]`` (rows: k_scale, k_zero, v_scale,
+    v_zero) so the decode-attention page gather fetches all of a page's
+    params in one contiguous slice. The ``k_scale``/... properties expose
+    the reference-layout views for tests and the jnp fallback paths.
+    """
 
     k_data: jnp.ndarray
     v_data: jnp.ndarray
-    k_scale: Optional[jnp.ndarray]  # fine-grained [L,P,H,page] or None
-    k_zero: Optional[jnp.ndarray]
-    v_scale: Optional[jnp.ndarray]
-    v_zero: Optional[jnp.ndarray]
-    k_stats: Optional[jnp.ndarray]  # [L,P,H,n_sub,2,D] or None
+    # [L, P, H, 4*page] f32: planes (k_scale|k_zero|v_scale|v_zero) stacked
+    # along the LANE axis — trailing dims (H, 4*page) are tile-aligned, so
+    # flat reshapes for scatter/gather are free bitcasts (a [.., 4, page]
+    # layout pads each (4, page) tile to (8, 128): 4x memory + copies)
+    kv_scales: Optional[jnp.ndarray]
+    # [L, P, H, n_sub*2, D]: row 2i = sub-chunk i min, 2i+1 = max (merged
+    # so trailing dims are tile-aligned; a [.., 2, D] tail pads 4x)
+    k_stats: Optional[jnp.ndarray]
     # per-tensor calibrated scales [L] (None in fine-grained/kv16 modes)
     k_scale_per_tensor: Optional[jnp.ndarray]
     v_scale_per_tensor: Optional[jnp.ndarray]
+
+    def _plane(self, i):
+        if self.kv_scales is None:
+            return None
+        page = self.kv_scales.shape[-1] // 4
+        return self.kv_scales[..., i * page:(i + 1) * page]
+
+    @property
+    def k_scale(self):
+        return self._plane(0)
+
+    @property
+    def k_zero(self):
+        return self._plane(1)
+
+    @property
+    def v_scale(self):
+        return self._plane(2)
+
+    @property
+    def v_zero(self):
+        return self._plane(3)
 
     @property
     def kv_bits(self) -> int:
@@ -58,13 +90,12 @@ class KVPool(NamedTuple):
         # packed int4 halves the token rows
         page_rows = self.k_data.shape[3]
         scale_rows = (
-            self.k_scale.shape[3] if self.k_scale is not None else None
+            self.kv_scales.shape[3] // 4 if self.kv_scales is not None
+            else None
         )
         if scale_rows is not None and page_rows * 2 == scale_rows:
             return 4
-        if self.k_scale is None and self.k_scale_per_tensor is not None:
-            # per-tensor: compare against stats/page constant is unavailable;
-            # encode int4 as half rows of v_data too
+        if self.kv_scales is None and self.k_scale_per_tensor is not None:
             return 4 if page_rows * 2 == self.v_data.shape[3] * 2 else 8
         return 8 if scale_rows == page_rows else 4
 
@@ -111,10 +142,11 @@ def make_kv_pool(
     v_data = jnp.zeros(data_shape, data_dtype)
     fine_grained = kv_bits < 16 and kv_zeros
     scale = (
-        jnp.zeros((L, P, H, page_size), jnp.float32) if fine_grained else None
+        jnp.zeros((L, P, H, 4 * page_size), jnp.float32)
+        if fine_grained else None
     )
     stats = (
-        jnp.zeros((L, P, H, sub_chunks, 2, D), jnp.float32)
+        jnp.zeros((L, P, H, sub_chunks * 2, D), jnp.float32)
         if with_stats
         else None
     )
@@ -129,10 +161,7 @@ def make_kv_pool(
     return KVPool(
         k_data=k_data,
         v_data=v_data,
-        k_scale=scale,
-        k_zero=(jnp.zeros_like(scale) if fine_grained else None),
-        v_scale=(jnp.zeros_like(scale) if fine_grained else None),
-        v_zero=(jnp.zeros_like(scale) if fine_grained else None),
+        kv_scales=scale,
         k_stats=stats,
         k_scale_per_tensor=k_scale_per_tensor,
         v_scale_per_tensor=v_scale_per_tensor,
@@ -163,32 +192,59 @@ def _pack_slot(slot: jnp.ndarray, page_size: int) -> Tuple[jnp.ndarray, jnp.ndar
     return slot % half, slot // half
 
 
+def _flat_rows_idx(page_ids, slots, num_heads, rows_per_page):
+    """(page, slot) per token x all heads -> [T, H] flat row index into a
+    [P*H*rows, D] view. Scattering on the LEADING dim avoids the relayout
+    copies XLA inserts for scatters that index interior dims."""
+    h = jnp.arange(num_heads)
+    return (
+        (page_ids[:, None] * num_heads + h[None, :]) * rows_per_page
+        + slots[:, None]
+    )
+
+
 def _scatter_data(
-    data: jnp.ndarray,       # [P, H, rows, D] layer slice
+    data: jnp.ndarray,       # [L, P, H, rows, D] FULL pool array
     q: jnp.ndarray,          # [T, H, D] stored values (uint8/bf16)
-    page_ids: jnp.ndarray,   # [T]
+    layer,                   # traced int
+    page_ids: jnp.ndarray,   # [T] (>= P = drop)
     slots: jnp.ndarray,      # [T]
     kv_bits: int,
     page_size: int,
 ) -> jnp.ndarray:
+    """Global flat-index scatter with the layer folded into the row index —
+    per-layer slice+update would copy the 67 MB+ layer slab each call."""
+    L, p, h_, rows_per_page, d = data.shape
+    t = q.shape[0]
+    n_rows = L * p * h_ * rows_per_page
+    flat = data.reshape(n_rows, d)
+
+    def fold(pages, rows):
+        idx = _flat_rows_idx(pages, rows, h_, rows_per_page)
+        idx = idx + layer * (p * h_ * rows_per_page)
+        # pages >= p got the sentinel: push past the array end (layer
+        # folding would otherwise alias the next layer's page 0)
+        return jnp.where(pages[:, None] >= p, n_rows, idx).reshape(-1)
+
     if kv_bits != 4:
-        return data.at[page_ids, :, slots].set(
-            q.astype(data.dtype), mode="drop"
+        out = flat.at[fold(page_ids, slots)].set(
+            q.astype(data.dtype).reshape(t * h_, d), mode="drop"
         )
+        return out.reshape(data.shape)
     # int4: read-modify-write the shared byte (half-split nibble layout).
     # Two sequential passes (low nibbles, then high nibbles) so a token pair
     # sharing one byte within this batch composes instead of last-wins.
-    rows, is_hi = _pack_slot(slots, page_size)
-    q = q.astype(jnp.uint8)
-    num_pages = data.shape[0]
-    lo_pages = jnp.where(is_hi == 0, page_ids, num_pages)
-    current = data[jnp.minimum(lo_pages, num_pages - 1), :, rows]
-    lo_byte = (current & 0xF0) | (q & 0x0F)
-    data = data.at[lo_pages, :, rows].set(lo_byte, mode="drop")
-    hi_pages = jnp.where(is_hi == 1, page_ids, num_pages)
-    current = data[jnp.minimum(hi_pages, num_pages - 1), :, rows]
-    hi_byte = (current & 0x0F) | (q << 4)
-    return data.at[hi_pages, :, rows].set(hi_byte, mode="drop")
+    row, is_hi = _pack_slot(slots, page_size)
+    q = q.astype(jnp.uint8).reshape(t * h_, d)
+    for nibble, mask_keep, shift in ((0, 0xF0, 0), (1, 0x0F, 4)):
+        pages_n = jnp.where(is_hi == nibble, page_ids, p)
+        idx = fold(pages_n, row)
+        current = flat[jnp.minimum(idx, n_rows - 1)]
+        byte = (current & mask_keep) | (
+            (q << shift) if shift else (q & 0x0F)
+        )
+        flat = flat.at[idx].set(byte, mode="drop")
+    return flat.reshape(data.shape)
 
 
 def append_kv(
@@ -201,8 +257,12 @@ def append_kv(
     page_size: int,
     kv_bits: int,
     kv_zeros: bool,
+    unique_pages: bool = False,
 ) -> KVPool:
     """Quantize and scatter T tokens into one layer of a pool.
+
+    ``unique_pages=True`` (decode) promises every token targets a distinct
+    page, enabling the fast row-granular scale update.
 
     TPU equivalent of apply_bias_rope_update_kv_cache (RoPE is applied by
     the caller; this op does quant + paged scatter). Tokens with
@@ -222,31 +282,65 @@ def append_kv(
     qk, k_scale, k_zero = _quantize_kv(k, kv_bits, kv_zeros, pt_k)
     qv, v_scale, v_zero = _quantize_kv(v, kv_bits, kv_zeros, pt_v)
     safe_pages = jnp.where(page_ids < 0, pool.num_pages, page_ids)
-    k_data = pool.k_data.at[layer].set(
-        _scatter_data(
-            pool.k_data[layer], qk, safe_pages, slots, kv_bits, page_size
-        )
+    k_data = _scatter_data(
+        pool.k_data, qk, layer, safe_pages, slots, kv_bits, page_size
     )
-    v_data = pool.v_data.at[layer].set(
-        _scatter_data(
-            pool.v_data[layer], qv, safe_pages, slots, kv_bits, page_size
-        )
+    v_data = _scatter_data(
+        pool.v_data, qv, layer, safe_pages, slots, kv_bits, page_size
     )
     updates = {"k_data": k_data, "v_data": v_data}
     if k_scale is not None:
-        updates["k_scale"] = pool.k_scale.at[layer, safe_pages, :, slots].set(
-            k_scale, mode="drop"
-        )
-        updates["k_zero"] = pool.k_zero.at[layer, safe_pages, :, slots].set(
-            k_zero, mode="drop"
-        )
-        updates["v_scale"] = pool.v_scale.at[layer, safe_pages, :, slots].set(
-            v_scale, mode="drop"
-        )
-        updates["v_zero"] = pool.v_zero.at[layer, safe_pages, :, slots].set(
-            v_zero, mode="drop"
-        )
+        L, p, h_, page4 = pool.kv_scales.shape
+        page = page4 // 4
+        t = k_scale.shape[0]
+        vals = jnp.stack([k_scale, k_zero, v_scale, v_zero], axis=2)  # [T,H,4]
+        if unique_pages:
+            # Decode path: every token targets a DISTINCT page, so a
+            # read-modify-write of whole [4*page] rows is race-free. The
+            # 2-D [L*P*H, 4*page] view keeps the lane dim intact (a 1-D
+            # flatten retiles T(8,128) -> T(1024): two full-array copies
+            # per step).
+            rows2d = pool.kv_scales.reshape(L * p * h_, page4)
+            n_rows = rows2d.shape[0]
+            row_idx = (layer * p + safe_pages[:, None]) * h_ \
+                + jnp.arange(h_)[None, :]                        # [T, H]
+            row_idx = jnp.where(
+                safe_pages[:, None] >= p, n_rows, row_idx
+            )
+            cur = rows2d[jnp.minimum(row_idx, n_rows - 1)]       # [T,H,4pg]
+            lanepos = jnp.arange(4) * page + slots[:, None]      # [T, 4]
+            lane = jnp.arange(page4)[None, None, :]              # [1,1,4pg]
+            new = cur
+            for plane in range(4):
+                hit = lane == lanepos[:, None, plane:plane + 1]  # [T,1,4pg]
+                new = jnp.where(hit, vals[:, :, plane:plane + 1], new)
+            rows2d = rows2d.at[row_idx.reshape(-1)].set(
+                new.reshape(t * h_, page4), mode="drop"
+            )
+            updates["kv_scales"] = rows2d.reshape(pool.kv_scales.shape)
+        else:
+            # Prefill path: tokens share pages (element-unique updates);
+            # interior-dim element scatter, amortized over the whole prompt.
+            updates["kv_scales"] = _prefill_scale_scatter(
+                pool.kv_scales, layer, safe_pages, slots, vals, page
+            )
     return pool._replace(**updates)
+
+
+def _prefill_scale_scatter(kv_scales, layer, safe_pages, slots, vals, page):
+    """Element scatter of [T, H, 4] quant params at (layer, page, h,
+    plane*page+slot)."""
+    L, p, h_, page4 = kv_scales.shape
+    t = vals.shape[0]
+    # indices [T, H, 4] -> flat element scatter via 2-D row view with a
+    # per-plane loop (4 row-RMW-free element scatters on the lane dim)
+    out = kv_scales
+    for plane in range(4):
+        lanes = plane * page + slots                             # [T]
+        out = out.at[
+            layer, safe_pages, :, lanes
+        ].set(vals[:, :, plane], mode="drop")
+    return out
 
 
 def update_k_stats(
@@ -270,11 +364,19 @@ def update_k_stats(
     sub_idx = slots // sub_size
     safe_pages = jnp.where(page_ids < 0, pool.num_pages, page_ids)
     kf = k.astype(pool.k_stats.dtype)
-    stats = pool.k_stats.at[layer, safe_pages, :, sub_idx, 0].min(
-        kf, mode="drop"
-    )
-    stats = stats.at[layer, safe_pages, :, sub_idx, 1].max(kf, mode="drop")
-    return pool._replace(k_stats=stats)
+    # global flat leading-dim scatter over [(L*P*H*S*2), D] rows
+    L, p, h_, s2, d = pool.k_stats.shape
+    s = s2 // 2
+    t = k.shape[0]
+    n_rows = L * p * h_ * s2
+    base = _flat_rows_idx(safe_pages, sub_idx, h_, s) * 2  # [T, H]
+    base = base + layer * (p * h_ * s2)
+    base = jnp.where(safe_pages[:, None] >= p, n_rows, base)
+    flat = pool.k_stats.reshape(n_rows, d)
+    kf2 = kf.reshape(t * h_, d)
+    flat = flat.at[base.reshape(-1)].min(kf2, mode="drop")
+    flat = flat.at[(base.reshape(-1) + 1)].max(kf2, mode="drop")
+    return pool._replace(k_stats=flat.reshape(pool.k_stats.shape))
 
 
 def reset_page_stats(
@@ -284,8 +386,18 @@ def reset_page_stats(
     if pool.k_stats is None:
         return pool
     safe = jnp.where(page_ids < 0, pool.num_pages, page_ids)
-    stats = pool.k_stats.at[layer, safe, :, :, 0].set(jnp.inf, mode="drop")
-    stats = stats.at[layer, safe, :, :, 1].set(-jnp.inf, mode="drop")
+    _, p, h_, s2, d = pool.k_stats.shape
+    s = s2 // 2
+    pattern = jnp.stack(
+        [jnp.full((d,), jnp.inf, pool.k_stats.dtype),
+         jnp.full((d,), -jnp.inf, pool.k_stats.dtype)]
+    )
+    row = jnp.broadcast_to(pattern, (h_, s, 2, d)).reshape(-1)
+    flat = pool.k_stats[layer].reshape(p, h_ * s2 * d)
+    flat = flat.at[safe].set(
+        jnp.broadcast_to(row, (safe.shape[0], row.shape[0])), mode="drop"
+    )
+    stats = pool.k_stats.at[layer].set(flat.reshape(p, h_, s2, d))
     return pool._replace(k_stats=stats)
 
 
@@ -300,9 +412,24 @@ def reset_page_stats_all_layers(
     if pool.k_stats is None:
         return pool
     safe = jnp.where(page_ids < 0, pool.num_pages, page_ids)
-    stats = pool.k_stats.at[:, safe, :, :, 0].set(jnp.inf, mode="drop")
-    stats = stats.at[:, safe, :, :, 1].set(-jnp.inf, mode="drop")
-    return pool._replace(k_stats=stats)
+    L, p, h_, s2, d = pool.k_stats.shape
+    s = s2 // 2
+    npg = safe.shape[0]
+    # one leading-dim scatter of whole-page rows across all layers
+    pattern = jnp.stack(
+        [jnp.full((d,), jnp.inf, pool.k_stats.dtype),
+         jnp.full((d,), -jnp.inf, pool.k_stats.dtype)]
+    )                                                  # [2, D]
+    row = jnp.broadcast_to(pattern, (h_, s, 2, d)).reshape(-1)
+    idx = jnp.arange(L)[:, None] * p + safe[None, :]      # [L, Npg]
+    # dropped pages got the sentinel ``p``: push them past L*p so the
+    # scatter's drop mode catches them (l*p + p would alias layer l+1)
+    idx = jnp.where(safe[None, :] >= p, L * p, idx).reshape(-1)
+    flat = pool.k_stats.reshape(L * p, h_ * s2 * d)
+    flat = flat.at[idx].set(
+        jnp.broadcast_to(row, (L * npg, row.shape[0])), mode="drop"
+    )
+    return pool._replace(k_stats=flat.reshape(pool.k_stats.shape))
 
 
 # ---------------------------------------------------------------------------

@@ -3,26 +3,37 @@
 One kernel serves all decode paths of the reference MMHA family
 (kernels/csrc/fused_attention/**, SURVEY.md §2.3):
 
-- dense retrieval-head attention: per-(seq, head) page list = the block
-  table in order
+- dense retrieval-head attention: page list = the block table in order
 - dynamic-sparse: page list = the selector's logical top-k pages
-  (reference ...Template.hpp:1631-1641's page indirection becomes a
-  scalar-prefetched physical-page list)
+  (reference ...Template.hpp:1631-1641's page indirection)
 - streaming ring heads: the ring slots ARE a dense prefix of the streaming
-  table (valid slots = [0, min(L, sink+local tokens))), so the same kernel
-  runs over the streaming pool with a clamped length
+  table, so the same kernel runs over the streaming pool with the length
+  clamped to sink+local
 
-Quantized KV compute stays in the quantized domain on the MXU:
-  qk_t   = s_t * (q . k_u)_t - s_t * z_t * sum(q)          (per token t)
-  out_d  = (p~ @ v_u)_d - sum_t(p~_t * z_t),  p~_t = p_t * s_t
-i.e. the same zero-point factorization the reference does in CUDA registers
-(decoderMaskedMultiheadAttentionUtils.h convert_from_4bit_kv_cache), but as
-two small matmuls per page plus rank-1 corrections.
+Two-stage design, sized for TPU DMA efficiency:
 
-Grid: (batch, kv_heads, page_tiles); page DMA is driven by BlockSpec
-index maps reading the scalar-prefetched page lists, so Mosaic pipelines
-the HBM loads (double buffering) automatically. Per-tile masking uses the
-LOGICAL page index, which also encodes padding (-1).
+1. **XLA page gather**: the selected pages are gathered from the pool into
+   a contiguous [B, T, H, rows, D] (dense; one page list shared by all
+   heads) or [B, H, T, rows, D] (per-head, dynamic-sparse) buffer with ONE
+   large single-axis gather (each page slice is a contiguous 4 KB+ chunk).
+   This costs one extra pass over the selected KV bytes but makes the
+   page axis contiguous.
+2. **Flash kernel over big blocks**: the kernel streams G pages per grid
+   step through plain BlockSpecs (32 KB+ DMAs Mosaic can pipeline), doing
+   online softmax with the KV kept in the QUANTIZED domain on the MXU:
+
+     qk_t  = s_t * (q . k_u)_t - s_t * z_t * sum(q)          (per token t)
+     out_d = (p~ @ v_u)_d - sum_t(p~_t * z_t),  p~_t = p_t * s_t
+
+   i.e. the same zero-point factorization the reference does in CUDA
+   registers (decoderMaskedMultiheadAttentionUtils.h
+   convert_from_4bit_kv_cache), as two matmuls per chunk plus rank-1
+   corrections.
+
+A first cut drove per-page DMAs from scalar-prefetched page tables
+(one 4 KB DMA per grid step): 18k grid steps at batch 128 ran ~300 ms.
+The gather+big-blocks design runs the same shapes in ~2 ms at a cost of
+one extra KV read+write.
 """
 
 from __future__ import annotations
@@ -40,34 +51,44 @@ from omniserve_tpu.ops.paged_kv import KVPool
 MASK_VALUE = -1e37
 
 
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 def _mqa_kernel(
     # scalar prefetch
-    sel_phys_ref,   # [B, H, n_tiles] int32 physical page (clamped >= 0)
-    sel_logic_ref,  # [B, H, n_tiles] int32 logical page (-1 = padding)
+    sel_logic_ref,  # [B, T] or [B, H, T] int32 logical page (-1 = padding)
     lengths_ref,    # [B] int32
     pt_ref,         # [2] f32 per-tensor (k, v) scales (dummy when unused)
     # blocks
-    q_ref,          # [1, 1, n_rep, D]
-    k_ref,          # [1, 1, rows, D] uint8/bf16
+    q_ref,          # [1, H, n_rep, D]
+    k_ref,          # [1, G, H, rows, D] (dense) / [1, H, G, rows, D]
     v_ref,
-    k_s_ref,        # [1, 1, 1, page] f32 scale   (fine-grained only)
-    k_z_ref,        # [1, 1, 1, page] f32 zero
-    v_s_ref,
-    v_z_ref,
+    sc_ref,         # [1, H, 4, G*page] f32 quant-param planes for chunk j
+                    # (k_scale, k_zero, v_scale, v_zero; fine-grained only)
     # outputs
-    o_ref,          # [1, 1, n_rep, D]
+    o_ref,          # [1, H, n_rep, D]
     # scratch
-    m_ref, l_ref, acc_ref,
+    m_ref, l_ref, acc_ref,  # [H*n_rep, 128] x2, [H*n_rep, D]
     *,
     sm_scale: float,
     page_size: int,
     kv_bits: int,
     kv_zeros: bool,
-    n_tiles: int,
+    n_chunks: int,
+    pages_per_chunk: int,
+    per_head_sel: bool,
+    n_heads: int,
 ):
+    """One grid step = one sequence x one page chunk x ALL kv heads.
+
+    The head loop lives INSIDE the kernel: at batch x heads x chunks grid
+    granularity the per-step Mosaic overhead dominated (98k steps/decode on
+    an 8B model); folding heads cuts grid steps 8x and enlarges each DMA.
+    """
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
+    g = pages_per_chunk
 
     @pl.when(j == 0)
     def _init():
@@ -75,106 +96,140 @@ def _mqa_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    logical = sel_logic_ref[b, h, j]
     length = lengths_ref[b]
 
-    @pl.when(logical >= 0)
+    # Token-lane layout of the flattened [1, G*page] axis. For kv4 the
+    # half-split unpack yields [all G pages' low halves; all high halves];
+    # kv8/16 is page-major. Lane-dim reshapes are unsupported in Mosaic —
+    # masks are built directly at [1, G*page] via iota arithmetic, and the
+    # scale inputs are pre-flattened (kv4-reordered) OUTSIDE the kernel.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
+    if kv_bits == 4:
+        half = page_size // 2
+        group = lane // (g * half)          # 0 = low nibble, 1 = high
+        rem = lane % (g * half)
+        page_of = rem // half
+        within = group * half + rem % half
+    else:
+        page_of = lane // page_size
+        within = lane % page_size
+
+    def chunk_mask(h):
+        if per_head_sel:
+            vals = [sel_logic_ref[b, h, j * g + i] for i in range(g)]
+        else:
+            vals = [sel_logic_ref[b, j * g + i] for i in range(g)]
+        logic_lane = jnp.full_like(lane, -1)
+        for i in range(g):
+            logic_lane = jnp.where(page_of == i, vals[i], logic_lane)
+        pos = logic_lane * page_size + within
+        return (logic_lane >= 0) & (pos < length)      # [1, G*page]
+
+    shared_mask = None if per_head_sel else chunk_mask(0)
+
+    def unpack(ref, h):
+        raw = ref[0, :, h] if not per_head_sel else ref[0, h]
+        raw = raw.reshape(g * raw.shape[-2], raw.shape[-1])
+        if kv_bits == 16:
+            return raw.astype(jnp.bfloat16)
+        raw_i = raw.astype(jnp.int32)
+        if kv_bits == 4:
+            lo = (raw_i & 0xF).astype(jnp.bfloat16)
+            hi = (raw_i >> 4).astype(jnp.bfloat16)
+            return jnp.concatenate([lo, hi], axis=0)   # [G*page, D]
+        return raw_i.astype(jnp.bfloat16)
+
+    any_valid = (
+        jnp.any(shared_mask) if not per_head_sel
+        else (lengths_ref[b] > 0)
+    )
+
+    @pl.when(any_valid)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # [n_rep, D]
-        n_rep = q.shape[0]
+        for h in range(n_heads):
+            valid_f = shared_mask if shared_mask is not None else \
+                chunk_mask(h)
+            q = q_ref[0, h].astype(jnp.float32)        # [n_rep, D]
+            n_rep = q.shape[0]
+            rs = slice(h * n_rep, (h + 1) * n_rep)
 
-        # -- unpack K/V to integer-valued bf16 [page, D] --
-        def unpack(data_ref):
-            raw = data_ref[0, 0]                      # [rows, D]
+            def scales(plane):
+                return sc_ref[0, h, plane][None, :]    # [1, G*page]
+
+            k_u = unpack(k_ref, h)                     # [G*page, D]
+            q_bf = q.astype(jnp.bfloat16)
+            qk_int = jax.lax.dot_general(
+                q_bf, k_u,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [n_rep, G*page]
             if kv_bits == 16:
-                return raw.astype(jnp.bfloat16)
-            # Mosaic lacks a direct uint8->bf16 cast; hop through int32.
-            raw_i = raw.astype(jnp.int32)
-            if kv_bits == 4:
-                lo = (raw_i & 0xF).astype(jnp.bfloat16)
-                hi = (raw_i >> 4).astype(jnp.bfloat16)
-                return jnp.concatenate([lo, hi], axis=0)   # [page, D]
-            return raw_i.astype(jnp.bfloat16)         # kv8 uint8 exact
+                qk = qk_int * sm_scale
+            elif kv_zeros:
+                sc = scales(0)
+                z = scales(1)
+                q_sum = jnp.sum(q, axis=1, keepdims=True)
+                qk = (qk_int * sc - (sc * z) * q_sum) * sm_scale
+            else:
+                ks = pt_ref[0]
+                bias = 8.0 if kv_bits == 4 else 128.0
+                q_sum = jnp.sum(q, axis=1, keepdims=True)
+                qk = (qk_int - bias * q_sum) * (ks * sm_scale)
 
-        k_u = unpack(k_ref)                           # [page, D]
+            qk = jnp.where(valid_f, qk, MASK_VALUE)
 
-        # token positions of this page & validity
-        pos = logical * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, page_size), 1
-        )                                             # [1, page]
-        valid = pos < length                          # [1, page]
+            # -- online softmax update (rows rs of the merged scratch) --
+            m_prev = m_ref[rs, 0][:, None]             # [n_rep, 1]
+            l_prev = l_ref[rs, 0][:, None]
+            m_curr = jnp.max(qk, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            pexp = jnp.exp(qk - m_next)                # [n_rep, G*page]
+            pexp = jnp.where(valid_f, pexp, 0.0)
+            l_next = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+            m_ref[rs, :] = jnp.broadcast_to(m_next, (n_rep, 128))
+            l_ref[rs, :] = jnp.broadcast_to(l_next, (n_rep, 128))
 
-        q_bf = q.astype(jnp.bfloat16)
-        qk_int = jax.lax.dot_general(
-            q_bf, k_u,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                             # [n_rep, page]
-        if kv_bits == 16:
-            qk = qk_int * sm_scale
-        elif kv_zeros:
-            s = k_s_ref[0, 0, 0][None, :]             # [1, page]
-            z = k_z_ref[0, 0, 0][None, :]
-            q_sum = jnp.sum(q, axis=1, keepdims=True)  # [n_rep, 1]
-            qk = (qk_int * s - (s * z) * q_sum) * sm_scale
-        else:
-            ks = pt_ref[0]
-            bias = 8.0 if kv_bits == 4 else 128.0
-            q_sum = jnp.sum(q, axis=1, keepdims=True)
-            qk = (qk_int - bias * q_sum) * (ks * sm_scale)
+            # -- V accumulation in the quantized domain --
+            v_u = unpack(v_ref, h)
+            if kv_bits == 16:
+                p_eff = pexp
+                corr = jnp.zeros((n_rep, 1), jnp.float32)
+                v_scale = 1.0
+            elif kv_zeros:
+                vs = scales(2)
+                vz = scales(3)
+                p_eff = pexp * vs
+                corr = jnp.sum(p_eff * vz, axis=1, keepdims=True)
+                v_scale = 1.0
+            else:
+                bias = 8.0 if kv_bits == 4 else 128.0
+                p_eff = pexp
+                corr = bias * jnp.sum(pexp, axis=1, keepdims=True)
+                v_scale = pt_ref[1]
+            pv = jax.lax.dot_general(
+                p_eff.astype(jnp.bfloat16), v_u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [n_rep, D]
+            o_curr = (pv - corr) * v_scale
+            acc_ref[rs, :] = acc_ref[rs, :] * alpha + o_curr
 
-        qk = jnp.where(valid, qk, MASK_VALUE)
-
-        # -- online softmax update --
-        m_prev = m_ref[:, 0][:, None]                 # [n_rep, 1]
-        l_prev = l_ref[:, 0][:, None]
-        m_curr = jnp.max(qk, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(qk - m_next)                      # [n_rep, page]
-        p = jnp.where(valid, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
-
-        # -- V accumulation in the quantized domain --
-        v_u = unpack(v_ref)                           # [page, D]
-        if kv_bits == 16:
-            p_eff = p
-            corr = jnp.zeros((n_rep, 1), jnp.float32)
-            v_scale = 1.0
-        elif kv_zeros:
-            vs = v_s_ref[0, 0, 0][None, :]
-            vz = v_z_ref[0, 0, 0][None, :]
-            p_eff = p * vs                            # [n_rep, page]
-            corr = jnp.sum(p_eff * vz, axis=1, keepdims=True)
-            v_scale = 1.0
-        else:
-            bias = 8.0 if kv_bits == 4 else 128.0
-            p_eff = p
-            corr = bias * jnp.sum(p, axis=1, keepdims=True)
-            v_scale = pt_ref[1]
-        pv = jax.lax.dot_general(
-            p_eff.astype(jnp.bfloat16), v_u,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                             # [n_rep, D]
-        o_curr = (pv - corr) * v_scale
-        acc_ref[...] = acc_ref[...] * alpha + o_curr
-
-    @pl.when(j == n_tiles - 1)
+    @pl.when(j == n_chunks - 1)
     def _finalize():
-        l = jnp.maximum(l_ref[:, 0][:, None], 1e-10)
-        o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        n_rep = o_ref.shape[2]
+        for h in range(n_heads):
+            rs = slice(h * n_rep, (h + 1) * n_rep)
+            l = jnp.maximum(l_ref[rs, 0][:, None], 1e-10)
+            o_ref[0, h] = (acc_ref[rs, :] / l).astype(o_ref.dtype)
 
 
 def paged_mqa_attention(
     q: jnp.ndarray,           # [B, Hkv, n_rep, D]
-    k_data: jnp.ndarray,      # [P, Hkv, rows, D]
-    v_data: jnp.ndarray,
-    k_scale, k_zero, v_scale, v_zero,   # [P, Hkv, page] f32 or None
-    sel_phys: jnp.ndarray,    # [B, Hkv, n_tiles] int32, clamped
-    sel_logic: jnp.ndarray,   # [B, Hkv, n_tiles] int32, -1 padded
+    k_sel: jnp.ndarray,       # [B, T, Hkv, rows, D] or [B, Hkv, T, rows, D]
+    v_sel: jnp.ndarray,
+    k_s, k_z, v_s, v_z,       # gathered scales, same leading dims + [page]
+    sel_logic: jnp.ndarray,   # [B, T] or [B, Hkv, T] int32, -1 padded
     lengths: jnp.ndarray,     # [B] int32
     *,
     sm_scale: float,
@@ -182,43 +237,114 @@ def paged_mqa_attention(
     kv_bits: int,
     kv_zeros: bool,
     pt_scales=None,
+    pages_per_chunk: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Single-query attention over selected pages; returns [B, Hkv, n_rep, D]."""
+    """Single-query attention over pre-gathered pages -> [B,Hkv,n_rep,D]."""
     b, hkv, n_rep, d = q.shape
-    n_tiles = sel_phys.shape[2]
-    rows = k_data.shape[2]
+    del k_z, v_s, v_z  # merged into k_s = kv_scales [B, T, H, 4, page]
+    per_head_sel = sel_logic.ndim == 3
+    n_tiles = sel_logic.shape[-1]
+    g = min(pages_per_chunk, n_tiles)
+    n_chunks = _cdiv(n_tiles, g)
+    rows = k_sel.shape[-2]
+
+    # pad the page axis to a multiple of g (logical -1 = masked). Callers
+    # should pad the page LISTS before gathering (paged_decode_attention
+    # does) — padding here would copy the whole gathered KV.
+    pad = n_chunks * g - n_tiles
+    if pad:
+        sel_logic = jnp.pad(sel_logic, [(0, 0)] * (sel_logic.ndim - 1)
+                            + [(0, pad)], constant_values=-1)
+
+        def padp(x, ax):
+            if x is None:
+                return None
+            cfg = [(0, 0)] * x.ndim
+            cfg[ax] = (0, pad)
+            return jnp.pad(x, cfg)
+
+        k_sel = padp(k_sel, 1)
+        v_sel = padp(v_sel, 1)
+        k_s = padp(k_s, 1)
+
+    def flatten_scale(s):
+        """[B, T, H, 4, page] -> [B, H, 4, nc, G*page] in kernel lane order.
+
+        One transpose+reshape pass over the (small) gathered params. kv4
+        lanes are [G low halves; G high halves] per chunk (the order the
+        half-split nibble unpack produces). Lane-dim reshapes are illegal
+        inside Mosaic, hence this happens here in XLA.
+        """
+        if s is None:
+            return None
+        if per_head_sel:
+            bb, hh, tt, pg4 = s.shape              # [B, H, T, 4*page]
+            pg = pg4 // 4
+            nc = tt // g
+            if kv_bits == 4:
+                half = pg // 2
+                s = s.reshape(bb, hh, nc, g, 4, 2, half)
+                s = s.transpose(0, 1, 4, 2, 5, 3, 6)
+            else:
+                s = s.reshape(bb, hh, nc, g, 4, pg)
+                s = s.transpose(0, 1, 4, 2, 3, 5)
+            return s.reshape(bb, hh, 4, nc * g * pg)
+        bb, tt, hh, pg4 = s.shape                  # [B, T, H, 4*page]
+        pg = pg4 // 4
+        nc = tt // g
+        if kv_bits == 4:
+            half = pg // 2
+            s = s.reshape(bb, nc, g, hh, 4, 2, half)
+            s = s.transpose(0, 3, 4, 1, 5, 2, 6)   # [B,H,4,nc,2,g,half]
+        else:
+            s = s.reshape(bb, nc, g, hh, 4, pg)
+            s = s.transpose(0, 3, 4, 1, 2, 5)      # [B,H,4,nc,g,page]
+        return s.reshape(bb, hh, 4, nc * g * pg)
+
+    k_s = flatten_scale(k_s)
 
     fine = kv_bits < 16 and kv_zeros
 
-    def phys_map(b_, h_, j_, sp, sl, ln, pt):
-        return (sp[b_, h_, j_], h_, 0, 0)
-
-    def scale_map(b_, h_, j_, sp, sl, ln, pt):
-        return (sp[b_, h_, j_], h_, 0, 0)
+    if per_head_sel:
+        # [B, H, T, rows, D]: contiguous page blocks per head
+        data_spec = pl.BlockSpec(
+            (1, hkv, g, rows, d), lambda b_, j_, sl, ln, pt:
+            (b_, 0, j_, 0, 0)
+        )
+    else:
+        # page-major [B, T, H, rows, D] (the fast single-axis gather
+        # layout); one fully-contiguous 256 KB block per step
+        data_spec = pl.BlockSpec(
+            (1, g, hkv, rows, d), lambda b_, j_, sl, ln, pt:
+            (b_, j_, 0, 0, 0)
+        )
+    # scales flattened to [B, H, 4, nc*G*page] in kernel lane order; chunk
+    # j is a lane-axis block (trailing block dims (4, G*page): the 4 equals
+    # the array dim, G*page is 128-aligned)
+    gp = g * page_size
+    scale_spec = pl.BlockSpec(
+        (1, hkv, 4, gp),
+        lambda b_, j_, sl, ln, pt: (b_, 0, 0, j_)
+    )
 
     in_specs = [
-        pl.BlockSpec((1, 1, n_rep, d), lambda b_, h_, j_, sp, sl, ln, pt:
-                     (b_, h_, 0, 0)),
-        pl.BlockSpec((1, 1, rows, d), phys_map),
-        pl.BlockSpec((1, 1, rows, d), phys_map),
+        pl.BlockSpec((1, hkv, n_rep, d), lambda b_, j_, sl, ln, pt:
+                     (b_, 0, 0, 0)),
+        data_spec, data_spec,
     ]
-    inputs = [q, k_data, v_data]
+    inputs = [q, k_sel, v_sel]
     if fine:
-        for arr in (k_scale, k_zero, v_scale, v_zero):
-            # [P, H, page] -> [P, H, 1, page]: the trailing two block dims
-            # (1, page) then equal the array dims (TPU tiling rule).
-            in_specs.append(pl.BlockSpec((1, 1, 1, page_size), scale_map))
-            inputs.append(arr[:, :, None, :])
+        in_specs += [scale_spec]
+        inputs += [k_s]
     else:
-        # dummy tiny refs (unused); keep kernel arity fixed
-        dummy = jnp.zeros((1, 1, 1, page_size), jnp.float32)
-        for _ in range(4):
-            in_specs.append(
-                pl.BlockSpec((1, 1, 1, page_size),
-                             lambda b_, h_, j_, sp, sl, ln, pt: (0, 0, 0, 0))
-            )
-            inputs.append(dummy)
+        dummy = jnp.zeros((1, hkv, 4, gp), jnp.float32)
+        zero_spec = pl.BlockSpec(
+            (1, hkv, 4, gp),
+            lambda b_, j_, sl, ln, pt: (0,) * 4
+        )
+        in_specs += [zero_spec]
+        inputs += [dummy]
 
     if pt_scales is None:
         pt_arr = jnp.zeros((2,), jnp.float32)
@@ -233,20 +359,23 @@ def paged_mqa_attention(
         page_size=page_size,
         kv_bits=kv_bits,
         kv_zeros=kv_zeros,
-        n_tiles=n_tiles,
+        n_chunks=n_chunks,
+        pages_per_chunk=g,
+        per_head_sel=per_head_sel,
+        n_heads=hkv,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b, hkv, n_tiles),
+        num_scalar_prefetch=3,
+        grid=(b, n_chunks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, n_rep, d),
-            lambda b_, h_, j_, sp, sl, ln, pt: (b_, h_, 0, 0),
+            (1, hkv, n_rep, d),
+            lambda b_, j_, sl, ln, pt: (b_, 0, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_rep, 128), jnp.float32),  # m
-            pltpu.VMEM((n_rep, 128), jnp.float32),  # l
-            pltpu.VMEM((n_rep, d), jnp.float32),    # acc
+            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),  # m
+            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),  # l
+            pltpu.VMEM((hkv * n_rep, d), jnp.float32),    # acc
         ],
     )
     return pl.pallas_call(
@@ -254,10 +383,11 @@ def paged_mqa_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(sel_phys, sel_logic, lengths, pt_arr, *inputs)
+    )(sel_logic.astype(jnp.int32), lengths.astype(jnp.int32), pt_arr,
+      *inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -271,6 +401,51 @@ def _pool_head_sources(head_rank, flags, n_pool_heads, want_retrieval):
     sel = flags if want_retrieval else ~flags
     match = (head_rank[None, :] == rows[:, None]) & sel[None, :]
     return jnp.argmax(match, axis=1)  # [n_pool_heads]
+
+
+
+def _pad_sel(sel_phys, sel_logic, quantum: int = 8):
+    """Pad page lists to a DMA-chunk multiple BEFORE the gather (padding
+    the gathered KV afterwards would copy it wholesale)."""
+    t = sel_logic.shape[-1]
+    pad = (-t) % quantum
+    if pad == 0:
+        return sel_phys, sel_logic
+    cfg = [(0, 0)] * (sel_logic.ndim - 1) + [(0, pad)]
+    return (jnp.pad(sel_phys, cfg),
+            jnp.pad(sel_logic, cfg, constant_values=-1))
+
+
+def _gather_pool(pool: KVPool, layer, sel_phys):
+    """Gather selected pages: -> [B(,H), T, H, rows, D] data and
+    [B(,H), T, H, 4, page] quant params.
+
+    ONE single-axis gather per array over a [L*P, ...] flat view with the
+    (traced) layer folded into the page index — ``arr[layer][sel]`` would
+    first dynamic-slice-copy the whole 67 MB+ layer slab, and multi-array
+    index gathers (page + head) lower to slow small-slice gathers. Each
+    gathered slice here is a contiguous 32 KB+ page."""
+    per_head = sel_phys.ndim == 3
+    n_pages = pool.k_data.shape[1]
+    if per_head:
+        # dynamic-sparse: pages differ per head; 2-index gather (page, head)
+        # -> [B, H, T, ...]. Budget page lists are short, so the slower
+        # small-slice gather is acceptable here.
+        h_idx = jnp.arange(pool.k_data.shape[2])[None, :, None]
+
+        def take(arr):
+            return None if arr is None else arr[layer, sel_phys, h_idx]
+
+        return take(pool.k_data), take(pool.v_data), take(pool.kv_scales)
+
+    flat_idx = layer * n_pages + sel_phys       # [B, T]
+
+    def take(arr):
+        if arr is None:
+            return None
+        return arr.reshape((-1,) + arr.shape[2:])[flat_idx]
+
+    return take(pool.k_data), take(pool.v_data), take(pool.kv_scales)
 
 
 def paged_decode_attention(
@@ -304,17 +479,10 @@ def paged_decode_attention(
     n_rep = hq // hkv
     q_g = q.reshape(b, hkv, n_rep, d)
 
-    def pool_arrays(p: KVPool):
-        args = (p.k_data[layer], p.v_data[layer])
-        if p.k_scale is not None:
-            scales = (p.k_scale[layer], p.k_zero[layer], p.v_scale[layer],
-                      p.v_zero[layer])
-        else:
-            scales = (None, None, None, None)
-        pt = None
+    def pt_of(p: KVPool):
         if p.k_scale_per_tensor is not None:
-            pt = (p.k_scale_per_tensor[layer], p.v_scale_per_tensor[layer])
-        return args, scales, pt
+            return (p.k_scale_per_tensor[layer], p.v_scale_per_tensor[layer])
+        return None
 
     # -- retrieval pool call (q heads routed by rank) --
     hr = pool.num_heads
@@ -330,23 +498,18 @@ def paged_decode_attention(
     else:
         n_pages = (context_lens + page_size - 1) // page_size  # [B]
         tile = jnp.arange(max_blocks)
-        logic = jnp.where(
+        sel_logic = jnp.where(
             tile[None, :] < n_pages[:, None], tile[None, :], -1
         )                                             # [B, max_blocks]
-        sel_logic = jnp.broadcast_to(
-            logic[:, None, :], (b, hr, max_blocks)
-        )
-        sel_phys = jnp.broadcast_to(
-            jnp.where(logic >= 0, block_tables, 0)[:, None, :],
-            (b, hr, max_blocks),
-        )
-    (kd, vd), (ks, kz, vs, vz), pt = pool_arrays(pool)
+        sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
+    sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic)
+    kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
     out_r = paged_mqa_attention(
-        q_r, kd, vd, ks, kz, vs, vz,
-        sel_phys.astype(jnp.int32), sel_logic.astype(jnp.int32),
+        q_r, kd, vd, ksc, None, None, None,
+        sel_logic.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
-        kv_zeros=kv_zeros, pt_scales=pt, interpret=interpret,
+        kv_zeros=kv_zeros, pt_scales=pt_of(pool), interpret=interpret,
     )                                                 # [B, Hr, n_rep, D]
     # scatter pool rows back to kv-head positions
     rank_c = jnp.clip(head_rank, 0, hr - 1)
@@ -367,21 +530,19 @@ def paged_decode_attention(
     eff_len = jnp.minimum(context_lens, window)       # slot-space length
     tile = jnp.arange(n_slots)
     n_slot_pages = (eff_len + page_size - 1) // page_size
-    logic_s = jnp.where(
+    sel_logic_s = jnp.where(
         tile[None, :] < n_slot_pages[:, None], tile[None, :], -1
-    )
-    sel_logic_s = jnp.broadcast_to(logic_s[:, None, :], (b, hs, n_slots))
-    sel_phys_s = jnp.broadcast_to(
-        jnp.where(logic_s >= 0, streaming_block_tables, 0)[:, None, :],
-        (b, hs, n_slots),
-    )
-    (kd, vd), (ks, kz, vs, vz), pt = pool_arrays(streaming_pool)
+    )                                                 # [B, n_slots]
+    sel_phys_s = jnp.where(sel_logic_s >= 0, streaming_block_tables, 0)
+    sel_phys_s, sel_logic_s = _pad_sel(sel_phys_s, sel_logic_s)
+    kd, vd, ksc = _gather_pool(streaming_pool, layer, sel_phys_s)
     out_s = paged_mqa_attention(
-        q_s, kd, vd, ks, kz, vs, vz,
-        sel_phys_s.astype(jnp.int32), sel_logic_s.astype(jnp.int32),
+        q_s, kd, vd, ksc, None, None, None,
+        sel_logic_s.astype(jnp.int32),
         eff_len.astype(jnp.int32),
         sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
-        kv_zeros=kv_zeros, pt_scales=pt, interpret=interpret,
+        kv_zeros=kv_zeros, pt_scales=pt_of(streaming_pool),
+        interpret=interpret,
     )
     rank_s = jnp.clip(head_rank, 0, hs - 1)
     out_full_s = jnp.take_along_axis(

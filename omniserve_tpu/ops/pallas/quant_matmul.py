@@ -1,0 +1,366 @@
+"""Pallas TPU quantized matmuls: W4A8 per-channel / per-group, W8A8.
+
+TPU-native equivalents of the reference CUDA GEMMs
+(kernels/csrc/qgemm/{w4a8_per_chn,w4a8_per_group,w8a8}/gemm_cuda.cu).
+The key property the jnp fallback cannot give: the int4 weights are
+nibble-unpacked **inside the kernel, in VMEM**, so HBM weight traffic stays
+at 4 bits/weight. XLA's fallback materializes the unpacked int8 copies in
+HBM every step, tripling the bandwidth of the decode hot loop.
+
+Packing contract (ops/quantization.py): half-split along K — byte[k, n]
+holds w[k, n] (low nibble) and w[k + K/2, n] (high nibble), both unsigned
+[0, 15]. The kernel therefore streams TWO activation blocks per packed
+weight block (a[:, kblk] and a[:, kblk + K/2]) via two index maps on the
+same activation array, and computes
+
+    psum += a_lo @ (qw & 0xF) + a_hi @ (qw >> 4)      (int8 MXU, int32 acc)
+
+Epilogues (same math as the reference, SURVEY.md §2.2 rows 1-3):
+  per-channel: out = psum * s1[n] * a_scale[m] - s1_szero[n] * a_sum[m]
+               (gemm_cuda.cu:586-593 — act-sum cancels the weight zero)
+  per-group:   w_i8 = w_u4 * s2 + s2_zero in-register (int16 interm), then
+               out = psum * s1[n] * a_scale[m]  (gemm_cuda.cu:278-332)
+  w8a8:        out = psum * w_scale[n] * a_scale[m]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    if x.shape[0] == rows:
+        return x
+    return jnp.pad(x, ((0, rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _unpack_u8(raw: jnp.ndarray):
+    """uint8 [r, n] -> (lo, hi) int8 in [0, 15]. int32 hop for Mosaic."""
+    raw_i = raw.astype(jnp.int32)
+    return (raw_i & 0xF).astype(jnp.int8), (raw_i >> 4).astype(jnp.int8)
+
+
+def _pick_bm(m: int) -> int:
+    # int8 sublane tile is 32; decode batches are small, prefill is large.
+    return min(_round_up(m, 32), 256)
+
+
+def _pick_tile(dim: int, cap: int, quantum: int):
+    """Largest multiple of ``quantum`` <= cap that divides ``dim`` (or None)."""
+    t = min(cap, dim)
+    t -= t % quantum
+    while t >= quantum:
+        if dim % t == 0:
+            return t
+        t -= quantum
+    return None
+
+
+# ---------------------------------------------------------------------------
+# W4A8 per-channel
+# ---------------------------------------------------------------------------
+
+
+def _per_chn_kernel(
+    a_lo_ref, a_hi_ref, w_ref, s1_ref, sz_ref, arow_ref,
+    o_ref, acc_ref, *, n_k: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w_lo, w_hi = _unpack_u8(w_ref[...])
+    psum = jax.lax.dot_general(
+        a_lo_ref[...], w_lo,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    psum += jax.lax.dot_general(
+        a_hi_ref[...], w_hi,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[...] += psum
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        s1 = s1_ref[0, :][None, :]        # [1, bn]
+        sz = sz_ref[0, :][None, :]
+        a_scale = arow_ref[:, 0][:, None]  # [bm, 1]
+        a_sum = arow_ref[:, 1][:, None]
+        out = (
+            acc_ref[...].astype(jnp.float32) * s1 * a_scale - sz * a_sum
+        )
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "bn", "bk2", "interpret"),
+)
+def w4a8_matmul_per_channel(
+    a_i8: jnp.ndarray,       # [M, K] int8
+    qweight: jnp.ndarray,    # [K/2, N] uint8 half-split packed
+    s1_scales: jnp.ndarray,  # [N] f32
+    s1_szeros: jnp.ndarray,  # [N] f32
+    a_scale: jnp.ndarray,    # [M] f32
+    a_sum: jnp.ndarray,      # [M] f32
+    out_dtype=jnp.bfloat16,
+    bn: int = 256,
+    bk2: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, k = a_i8.shape
+    k2, n = qweight.shape
+    assert k == 2 * k2, (a_i8.shape, qweight.shape)
+    bm = _pick_bm(m)
+    bk2 = _pick_tile(k2, bk2, 128) or _pick_tile(k2, bk2, 64)
+    bn = _pick_tile(n, bn, 128)
+    assert bk2 and bn, (k2, n)
+    n_k = k2 // bk2
+
+    mp = _round_up(m, bm)
+    a_p = _pad_rows(a_i8, mp)
+    # per-row epilogue params as one [M, 2] f32 array (cols: scale, sum)
+    arow = jnp.stack([a_scale, a_sum], axis=1).astype(jnp.float32)
+    arow = _pad_rows(arow, mp)
+    s1_2d = s1_scales.astype(jnp.float32)[None, :]
+    sz_2d = s1_szeros.astype(jnp.float32)[None, :]
+
+    grid = (mp // bm, n // bn, n_k)
+    out = pl.pallas_call(
+        functools.partial(_per_chn_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk + n_k)),
+            pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((bm, 2), lambda i, j, kk: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k + k2 * n + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, a_p, qweight, s1_2d, sz_2d, arow)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# W4A8 per-group (progressive int4 -> int8 in-kernel)
+# ---------------------------------------------------------------------------
+
+
+def _per_group_kernel(
+    a_lo_ref, a_hi_ref, w_ref, s2lo_ref, s2zlo_ref, s2hi_ref, s2zhi_ref,
+    s1_ref, arow_ref, o_ref, acc_ref, *, n_k: int, group_size: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w_lo, w_hi = _unpack_u8(w_ref[...])          # [bk2, bn] int8 in [0,15]
+    bk2, bn = w_lo.shape
+    g = bk2 // group_size
+
+    def dequant(w_u4, s2_ref, s2z_ref):
+        # int16 intermediate: u4 * s2 can exceed int8 before + zero offset
+        w3 = w_u4.reshape(g, group_size, bn).astype(jnp.int16)
+        s2 = s2_ref[...].astype(jnp.int16)[:, None, :]     # [g, 1, bn]
+        s2z = s2z_ref[...].astype(jnp.int16)[:, None, :]
+        return (w3 * s2 + s2z).astype(jnp.int8).reshape(bk2, bn)
+
+    psum = jax.lax.dot_general(
+        a_lo_ref[...], dequant(w_lo, s2lo_ref, s2zlo_ref),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    psum += jax.lax.dot_general(
+        a_hi_ref[...], dequant(w_hi, s2hi_ref, s2zhi_ref),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[...] += psum
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        s1 = s1_ref[0, :][None, :]
+        a_scale = arow_ref[:, 0][:, None]
+        out = acc_ref[...].astype(jnp.float32) * s1 * a_scale
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "out_dtype", "bn", "bk2", "interpret"),
+)
+def w4a8_matmul_per_group(
+    a_i8: jnp.ndarray,       # [M, K] int8
+    qweight: jnp.ndarray,    # [K/2, N] uint8
+    s1_scales: jnp.ndarray,  # [N] f32
+    s2_scales: jnp.ndarray,  # [K/group, N] int8
+    s2_zeros: jnp.ndarray,   # [K/group, N] int8
+    a_scale: jnp.ndarray,    # [M] f32
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    bn: int = 256,
+    bk2: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, k = a_i8.shape
+    k2, n = qweight.shape
+    assert k == 2 * k2
+    bm = _pick_bm(m)
+    bk2 = _pick_tile(k2, bk2, group_size)
+    bn = _pick_tile(n, bn, 128)
+    assert bk2 and bn, (k2, n, group_size)
+    n_k = k2 // bk2
+    gb = bk2 // group_size  # groups per K block (per half)
+
+    mp = _round_up(m, bm)
+    a_p = _pad_rows(a_i8, mp)
+    arow = jnp.stack(
+        [a_scale, jnp.zeros_like(a_scale)], axis=1
+    ).astype(jnp.float32)
+    arow = _pad_rows(arow, mp)
+    s1_2d = s1_scales.astype(jnp.float32)[None, :]
+
+    grid = (mp // bm, n // bn, n_k)
+    s2_spec_lo = pl.BlockSpec((gb, bn), lambda i, j, kk: (kk, j))
+    s2_spec_hi = pl.BlockSpec((gb, bn), lambda i, j, kk: (kk + n_k, j))
+    out = pl.pallas_call(
+        functools.partial(
+            _per_group_kernel, n_k=n_k, group_size=group_size
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk + n_k)),
+            pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j)),
+            s2_spec_lo, s2_spec_lo, s2_spec_hi, s2_spec_hi,
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((bm, 2), lambda i, j, kk: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k + k2 * n + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, a_p, qweight, s2_scales, s2_zeros, s2_scales, s2_zeros,
+      s1_2d, arow)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# W8A8
+# ---------------------------------------------------------------------------
+
+
+def _w8a8_kernel(a_ref, w_ref, ws_ref, arow_ref, o_ref, acc_ref, *, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        a_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        ws = ws_ref[0, :][None, :]
+        a_scale = arow_ref[:, 0][:, None]
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * ws * a_scale
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bn", "bk", "interpret")
+)
+def w8a8_matmul(
+    a_i8: jnp.ndarray,      # [M, K] int8
+    qweight: jnp.ndarray,   # [K, N] int8
+    w_scales: jnp.ndarray,  # [N] f32
+    a_scale: jnp.ndarray,   # [M] f32
+    out_dtype=jnp.bfloat16,
+    bn: int = 256,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, k = a_i8.shape
+    _, n = qweight.shape
+    bm = _pick_bm(m)
+    bk = _pick_tile(k, bk, 128) or _pick_tile(k, bk, 64)
+    bn = _pick_tile(n, bn, 128)
+    assert bk and bn, (k, n)
+    n_k = k // bk
+
+    mp = _round_up(m, bm)
+    a_p = _pad_rows(a_i8, mp)
+    arow = jnp.stack(
+        [a_scale, jnp.zeros_like(a_scale)], axis=1
+    ).astype(jnp.float32)
+    arow = _pad_rows(arow, mp)
+    ws_2d = w_scales.astype(jnp.float32)[None, :]
+
+    grid = (mp // bm, n // bn, n_k)
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((bm, 2), lambda i, j, kk: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k + k * n + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, qweight, ws_2d, arow)
+    return out[:m]

@@ -101,12 +101,9 @@ def pool_pspecs(pool: Optional[KVPool]) -> Optional[KVPool]:
     return KVPool(
         k_data=data_spec,
         v_data=data_spec,
-        k_scale=None if pool.k_scale is None else scale_spec,
-        k_zero=None if pool.k_zero is None else scale_spec,
-        v_scale=None if pool.v_scale is None else scale_spec,
-        v_zero=None if pool.v_zero is None else scale_spec,
+        kv_scales=None if pool.kv_scales is None else scale_spec,
         k_stats=(
-            None if pool.k_stats is None else P(None, d, m, None, None, None)
+            None if pool.k_stats is None else P(None, d, m, None, None)
         ),
         k_scale_per_tensor=(
             None if pool.k_scale_per_tensor is None else P(None)

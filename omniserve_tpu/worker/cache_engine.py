@@ -30,8 +30,7 @@ def _copy_pages(
 ) -> KVPool:
     """Copy whole pages src[i] -> dst[i] across all layers (CoW support)."""
     updates = {}
-    for name in ("k_data", "v_data", "k_scale", "k_zero", "v_scale",
-                 "v_zero", "k_stats"):
+    for name in ("k_data", "v_data", "kv_scales", "k_stats"):
         arr = getattr(pool, name)
         if arr is None:
             continue
@@ -149,8 +148,7 @@ class CacheEngine:
         idx = jnp.asarray(dev_ids, jnp.int32)
         snap = {
             name: np.asarray(getattr(pool, name)[:, idx])
-            for name in ("k_data", "v_data", "k_scale", "k_zero",
-                         "v_scale", "v_zero", "k_stats")
+            for name in ("k_data", "v_data", "kv_scales", "k_stats")
             if getattr(pool, name) is not None
         }
         for i, dev_id in enumerate(dev_ids):
@@ -167,8 +165,7 @@ class CacheEngine:
         cpu_ids = list(mapping.keys())
         dst = jnp.asarray([mapping[c] for c in cpu_ids], jnp.int32)
         updates = {}
-        for name in ("k_data", "v_data", "k_scale", "k_zero", "v_scale",
-                     "v_zero", "k_stats"):
+        for name in ("k_data", "v_data", "kv_scales", "k_stats"):
             arr = getattr(pool, name)
             if arr is None:
                 continue

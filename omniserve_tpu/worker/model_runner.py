@@ -72,26 +72,47 @@ class ModelRunner:
 
         arch = (getattr(model_config.hf_config, "architectures", None)
                 or ["LlamaForCausalLM"])[0]
-        if arch not in (
+        is_moe = arch == "MixtralForCausalLM"
+        if not is_moe and arch not in (
             "LlamaForCausalLM", "MistralForCausalLM", "LLaMAForCausalLM",
             "YiForCausalLM",
         ):
             raise NotImplementedError(f"architecture {arch} not supported yet")
 
-        self.spec: LlamaSpec = LlamaSpec.from_model_config(
-            model_config, sp_attn_config, page_size=cache_config.page_size
-        )
+        if is_moe:
+            from omniserve_tpu.models import mixtral
+
+            self.spec = mixtral.MixtralSpec.from_model_config(
+                model_config, sp_attn_config,
+                page_size=cache_config.page_size,
+            )
+            self._model_forward = mixtral.mixtral_forward
+        else:
+            self.spec = LlamaSpec.from_model_config(
+                model_config, sp_attn_config,
+                page_size=cache_config.page_size,
+            )
+            self._model_forward = llama.llama_forward
         retrieval_flags = head_rank = None
         if sp_attn_config is not None and sp_attn_config.enable_streaming:
             retrieval_flags = sp_attn_config.retrieval_head_flags
             head_rank = sp_attn_config.head_rank_table
 
         if load_format == "dummy":
-            self.params = llama.make_random_params(
+            maker = (mixtral.make_random_params if is_moe
+                     else llama.make_random_params)
+            self.params = maker(
                 self.spec, seed=model_config.seed,
                 retrieval_flags=retrieval_flags, head_rank=head_rank,
             )
             kv_scales = None
+        elif is_moe:
+            from omniserve_tpu.models.mixtral import load_mixtral_params
+
+            self.params, kv_scales = load_mixtral_params(
+                model_config, self.spec,
+                retrieval_flags=retrieval_flags, head_rank=head_rank,
+            )
         else:
             from omniserve_tpu.models.weight_loader import load_llama_params
 
@@ -122,7 +143,7 @@ class ModelRunner:
         for is_prefill in (True, False):
             self._forward[is_prefill] = jax.jit(
                 functools.partial(
-                    llama.llama_forward,
+                    self._model_forward,
                     spec=self.spec,
                     is_prefill=is_prefill,
                 ),

@@ -101,7 +101,8 @@ class TestKStats:
             pool, 0, jnp.asarray(k), jnp.zeros(PAGE, jnp.int32),
             jnp.asarray(pos), PAGE, sub_chunks,
         )
-        stats = np.asarray(pool.k_stats)[0, 0, 0]  # [n_sub, 2, D]
+        stats = np.asarray(pool.k_stats)[0, 0, 0]  # [n_sub*2, D]
+        stats = stats.reshape(sub_chunks, 2, -1)
         half = PAGE // sub_chunks
         np.testing.assert_allclose(
             stats[0, 0], k[:half, 0].min(axis=0), rtol=1e-3
