@@ -37,14 +37,14 @@ def main() -> None:
         spec = LlamaSpec(
             num_layers=4, hidden=512, intermediate=1024, num_q_heads=8,
             num_kv_heads=2, head_dim=64, vocab=32000, weight_bits=4,
-            act_bits=8, kv_bits=4, kv_zeros=True, page_size=64,
+            act_bits=8, kv_bits=4, kv_zeros=True, page_size=128,
         )
     else:
         spec = LlamaSpec(
             num_layers=32, hidden=4096, intermediate=14336, num_q_heads=32,
             num_kv_heads=8, head_dim=128, vocab=128256,
             rope_base=500000.0, weight_bits=4, act_bits=8, kv_bits=4,
-            kv_zeros=True, page_size=64,
+            kv_zeros=True, page_size=128,
         )
 
     max_len = ctx + steps + spec.page_size
@@ -93,18 +93,21 @@ def main() -> None:
         )
         return nxt, pool
 
-    # warmup / compile
+    # warmup / compile. NOTE: block_until_ready can return before the
+    # device actually finishes on remote-attached TPUs — a device->host
+    # fetch is the only reliable completion barrier.
+    fetch = jax.jit(lambda t: t[:4])
     t0 = time.time()
     batch_dev = make_batch(ctx)
     batch_dev, pool = step(params, pool, batch_dev)
-    jax.block_until_ready(batch_dev.token_ids)
+    np.asarray(fetch(batch_dev.token_ids))
     t_compile = time.time() - t0
 
     # timed decode loop (positions advance; same compiled program)
     t0 = time.time()
     for i in range(steps):
         batch_dev, pool = step(params, pool, batch_dev)
-    jax.block_until_ready(batch_dev.token_ids)
+    np.asarray(fetch(batch_dev.token_ids))
     dt = time.time() - t0
 
     toks_per_s = batch * steps / dt

@@ -98,21 +98,14 @@ def _mqa_kernel(
 
     length = lengths_ref[b]
 
-    # Token-lane layout of the flattened [1, G*page] axis. For kv4 the
-    # half-split unpack yields [all G pages' low halves; all high halves];
-    # kv8/16 is page-major. Lane-dim reshapes are unsupported in Mosaic —
-    # masks are built directly at [1, G*page] via iota arithmetic, and the
-    # scale inputs are pre-flattened (kv4-reordered) OUTSIDE the kernel.
+    # Token-lane layout of the flattened [1, G*page] axis is page-major for
+    # every kv width (the kv4 unpack concats nibble halves per page along
+    # the token axis). Lane-dim reshapes are unsupported in Mosaic — masks
+    # are built directly at [1, G*page] via iota arithmetic, and the scale
+    # inputs are pre-flattened OUTSIDE the kernel.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
-    if kv_bits == 4:
-        half = page_size // 2
-        group = lane // (g * half)          # 0 = low nibble, 1 = high
-        rem = lane % (g * half)
-        page_of = rem // half
-        within = group * half + rem % half
-    else:
-        page_of = lane // page_size
-        within = lane % page_size
+    page_of = lane // page_size
+    within = lane % page_size
 
     def chunk_mask(h):
         if per_head_sel:
@@ -129,15 +122,20 @@ def _mqa_kernel(
 
     def unpack(ref, h):
         raw = ref[0, :, h] if not per_head_sel else ref[0, h]
-        raw = raw.reshape(g * raw.shape[-2], raw.shape[-1])
         if kv_bits == 16:
-            return raw.astype(jnp.bfloat16)
-        raw_i = raw.astype(jnp.int32)
+            return raw.reshape(g * raw.shape[-2], raw.shape[-1]).astype(
+                jnp.bfloat16
+            )
+        raw_i = raw.astype(jnp.int32)                  # [g, rows, D]
         if kv_bits == 4:
             lo = (raw_i & 0xF).astype(jnp.bfloat16)
             hi = (raw_i >> 4).astype(jnp.bfloat16)
-            return jnp.concatenate([lo, hi], axis=0)   # [G*page, D]
-        return raw_i.astype(jnp.bfloat16)
+            # per-page nibble concat -> page-major token order
+            cat = jnp.concatenate([lo, hi], axis=1)    # [g, page, D]
+            return cat.reshape(g * page_size, -1)
+        return raw_i.reshape(g * raw.shape[-2], raw.shape[-1]).astype(
+            jnp.bfloat16
+        )
 
     any_valid = (
         jnp.any(shared_mask) if not per_head_sel
@@ -281,26 +279,12 @@ def paged_mqa_attention(
         if per_head_sel:
             bb, hh, tt, pg4 = s.shape              # [B, H, T, 4*page]
             pg = pg4 // 4
-            nc = tt // g
-            if kv_bits == 4:
-                half = pg // 2
-                s = s.reshape(bb, hh, nc, g, 4, 2, half)
-                s = s.transpose(0, 1, 4, 2, 5, 3, 6)
-            else:
-                s = s.reshape(bb, hh, nc, g, 4, pg)
-                s = s.transpose(0, 1, 4, 2, 3, 5)
-            return s.reshape(bb, hh, 4, nc * g * pg)
+            s = s.reshape(bb, hh, tt, 4, pg).transpose(0, 1, 3, 2, 4)
+            return s.reshape(bb, hh, 4, tt * pg)
         bb, tt, hh, pg4 = s.shape                  # [B, T, H, 4*page]
         pg = pg4 // 4
-        nc = tt // g
-        if kv_bits == 4:
-            half = pg // 2
-            s = s.reshape(bb, nc, g, hh, 4, 2, half)
-            s = s.transpose(0, 3, 4, 1, 5, 2, 6)   # [B,H,4,nc,2,g,half]
-        else:
-            s = s.reshape(bb, nc, g, hh, 4, pg)
-            s = s.transpose(0, 3, 4, 1, 2, 5)      # [B,H,4,nc,g,page]
-        return s.reshape(bb, hh, 4, nc * g * pg)
+        s = s.reshape(bb, tt, hh, 4, pg).transpose(0, 2, 3, 1, 4)
+        return s.reshape(bb, hh, 4, tt * pg)
 
     k_s = flatten_scale(k_s)
 
@@ -404,6 +388,18 @@ def _pool_head_sources(head_rank, flags, n_pool_heads, want_retrieval):
 
 
 
+def _choose_chunk(t: int, cap: int = 8) -> int:
+    """Pages per kernel chunk. Pad pages are DMA'd (compute is masked), so
+    minimize the padded total ceil(t/g)*g; ties go to the larger chunk
+    (fewer grid steps)."""
+    best_g, best_padded = 1, t * cap
+    for g in range(min(cap, t), 1, -1):
+        padded = -(-t // g) * g
+        if padded < best_padded:
+            best_g, best_padded = g, padded
+    return best_g
+
+
 def _pad_sel(sel_phys, sel_logic, quantum: int = 8):
     """Pad page lists to a DMA-chunk multiple BEFORE the gather (padding
     the gathered KV afterwards would copy it wholesale)."""
@@ -502,12 +498,14 @@ def paged_decode_attention(
             tile[None, :] < n_pages[:, None], tile[None, :], -1
         )                                             # [B, max_blocks]
         sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
-    sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic)
+    g_r = _choose_chunk(sel_logic.shape[-1])
+    sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g_r)
     kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
     out_r = paged_mqa_attention(
         q_r, kd, vd, ksc, None, None, None,
         sel_logic.astype(jnp.int32),
         context_lens.astype(jnp.int32),
+        pages_per_chunk=g_r,
         sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
         kv_zeros=kv_zeros, pt_scales=pt_of(pool), interpret=interpret,
     )                                                 # [B, Hr, n_rep, D]
@@ -534,12 +532,14 @@ def paged_decode_attention(
         tile[None, :] < n_slot_pages[:, None], tile[None, :], -1
     )                                                 # [B, n_slots]
     sel_phys_s = jnp.where(sel_logic_s >= 0, streaming_block_tables, 0)
-    sel_phys_s, sel_logic_s = _pad_sel(sel_phys_s, sel_logic_s)
+    g_s = _choose_chunk(sel_logic_s.shape[-1])
+    sel_phys_s, sel_logic_s = _pad_sel(sel_phys_s, sel_logic_s, quantum=g_s)
     kd, vd, ksc = _gather_pool(streaming_pool, layer, sel_phys_s)
     out_s = paged_mqa_attention(
         q_s, kd, vd, ksc, None, None, None,
         sel_logic_s.astype(jnp.int32),
         eff_len.astype(jnp.int32),
+        pages_per_chunk=g_s,
         sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
         kv_zeros=kv_zeros, pt_scales=pt_of(streaming_pool),
         interpret=interpret,

@@ -121,8 +121,8 @@ def w4a8_matmul_per_channel(
     a_scale: jnp.ndarray,    # [M] f32
     a_sum: jnp.ndarray,      # [M] f32
     out_dtype=jnp.bfloat16,
-    bn: int = 256,
-    bk2: int = 512,
+    bn: int = 1024,
+    bk2: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     m, k = a_i8.shape
