@@ -99,6 +99,10 @@ class BaseBlockManager:
         local_blocks: int = 0,
     ) -> None:
         self.page_size = page_size
+        # The TOP page index is reserved as the pools' TRASH page (the
+        # Pallas decode-append kernel routes inactive tokens' writes there)
+        # and is never handed out.
+        num_device_blocks = max(1, num_device_blocks - 1)
         self.num_device_blocks = num_device_blocks
         self.watermark_blocks = int(watermark * num_device_blocks)
         self.is_streaming = is_streaming

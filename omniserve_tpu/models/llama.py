@@ -574,26 +574,37 @@ def _write_kv(
     # row r holds the kv head h with flags[h] & rank[h]==r
     match_r = (rank[None, :] == pool_rows[:, None]) & flags[None, :]
     src_r = jnp.argmax(match_r, axis=1)  # [Hr]
-    retrieval_pool = append_kv(
-        retrieval_pool, layer, k[:, src_r], v[:, src_r], pages_r, slots_r,
-        spec.page_size, spec.kv_bits, spec.kv_zeros,
-        unique_pages=unique_pages,
-    )
-    if update_stats and retrieval_pool.k_stats is not None:
-        retrieval_pool = update_k_stats(
-            retrieval_pool, layer, k[:, src_r], pages_r, slots_r,
-            spec.page_size, spec.sub_chunks,
+    if unique_pages:
+        retrieval_pool = dispatch.append_kv_decode(
+            retrieval_pool, layer, k[:, src_r], v[:, src_r], pages_r,
+            slots_r, spec.page_size, spec.kv_bits, spec.kv_zeros,
+            update_stats=update_stats, sub_chunks=spec.sub_chunks,
         )
+    else:
+        retrieval_pool = append_kv(
+            retrieval_pool, layer, k[:, src_r], v[:, src_r], pages_r,
+            slots_r, spec.page_size, spec.kv_bits, spec.kv_zeros,
+        )
+        if update_stats and retrieval_pool.k_stats is not None:
+            retrieval_pool = update_k_stats(
+                retrieval_pool, layer, k[:, src_r], pages_r, slots_r,
+                spec.page_size, spec.sub_chunks,
+            )
     if streaming_pool is not None:
         hs = streaming_pool.num_heads
         srows = jnp.arange(hs)
         match_s = (rank[None, :] == srows[:, None]) & (~flags[None, :])
         src_s = jnp.argmax(match_s, axis=1)
-        streaming_pool = append_kv(
-            streaming_pool, layer, k[:, src_s], v[:, src_s], pages_s,
-            slots_s, spec.page_size, spec.kv_bits, spec.kv_zeros,
-            unique_pages=unique_pages,
-        )
+        if unique_pages:
+            streaming_pool = dispatch.append_kv_decode(
+                streaming_pool, layer, k[:, src_s], v[:, src_s], pages_s,
+                slots_s, spec.page_size, spec.kv_bits, spec.kv_zeros,
+            )
+        else:
+            streaming_pool = append_kv(
+                streaming_pool, layer, k[:, src_s], v[:, src_s], pages_s,
+                slots_s, spec.page_size, spec.kv_bits, spec.kv_zeros,
+            )
     return retrieval_pool, streaming_pool
 
 

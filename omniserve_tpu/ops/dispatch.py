@@ -46,3 +46,31 @@ def paged_decode_attention(*args, **kwargs):
         except ImportError:
             pass
     return attention_ref.paged_decode_attention(*args, **kwargs)
+
+
+def append_kv_decode(pool, layer, k, v, page_ids, slots, page_size,
+                     kv_bits, kv_zeros, update_stats=False, sub_chunks=4):
+    """Decode-step KV append (+ optional stats). Pallas in-place kernel on
+    TPU; jnp scatter fallback elsewhere. Tokens must target distinct pages
+    (the decode invariant)."""
+    if _on_tpu():
+        try:
+            from omniserve_tpu.ops.pallas import kv_append
+
+            return kv_append.append_kv_decode(
+                pool, layer, k, v, page_ids, slots, page_size, kv_bits,
+                kv_zeros, update_stats=update_stats, sub_chunks=sub_chunks,
+            )
+        except ImportError:
+            pass
+    from omniserve_tpu.ops import paged_kv
+
+    pool = paged_kv.append_kv(
+        pool, layer, k, v, page_ids, slots, page_size, kv_bits, kv_zeros,
+        unique_pages=True,
+    )
+    if update_stats and pool.k_stats is not None:
+        pool = paged_kv.update_k_stats(
+            pool, layer, k, page_ids, slots, page_size, sub_chunks
+        )
+    return pool

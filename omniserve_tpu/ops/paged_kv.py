@@ -125,6 +125,9 @@ def make_kv_pool(
     k_scale_per_tensor: Optional[jnp.ndarray] = None,
     v_scale_per_tensor: Optional[jnp.ndarray] = None,
 ) -> KVPool:
+    # Convention: the TOP page index is a TRASH page — the Pallas
+    # decode-append kernel routes inactive tokens there (a block write must
+    # land somewhere). The block manager reserves it (never allocated).
     L, P, H, D = num_layers, num_pages, num_heads, head_dim
     if kv_bits == 16:
         data_shape = (L, P, H, page_size, D)

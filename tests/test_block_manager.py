@@ -56,7 +56,7 @@ class TestRingSlot:
 
 class TestBaseBlockManager:
     def test_prompt_allocation_and_free(self):
-        mgr = BaseBlockManager(PAGE, num_device_blocks=100, num_cpu_blocks=10)
+        mgr = BaseBlockManager(PAGE, num_device_blocks=101, num_cpu_blocks=10)
         group, seq = make_group(3 * PAGE + 1)
         assert mgr.can_allocate(group) == AllocStatus.OK
         mgr.allocate(group)
@@ -67,7 +67,7 @@ class TestBaseBlockManager:
 
     def test_watermark_admission(self):
         mgr = BaseBlockManager(
-            PAGE, num_device_blocks=100, num_cpu_blocks=10, watermark=0.05
+            PAGE, num_device_blocks=101, num_cpu_blocks=10, watermark=0.05
         )
         group, _ = make_group(98 * PAGE)
         # 98 blocks leaves 2 < watermark 5 even when empty -> NEVER... 100-98=2<5
@@ -80,7 +80,7 @@ class TestBaseBlockManager:
         assert mgr.can_allocate(group3) == AllocStatus.LATER
 
     def test_append_slot_grows_table(self):
-        mgr = BaseBlockManager(PAGE, num_device_blocks=10, num_cpu_blocks=0)
+        mgr = BaseBlockManager(PAGE, num_device_blocks=11, num_cpu_blocks=0)
         group, seq = make_group(PAGE)  # exactly one full page
         mgr.allocate(group)
         seq.status = SequenceStatus.RUNNING
@@ -90,7 +90,7 @@ class TestBaseBlockManager:
         assert len(mgr.get_block_table(seq)) == 2
 
     def test_copy_on_write_on_shared_block(self):
-        mgr = BaseBlockManager(PAGE, num_device_blocks=10, num_cpu_blocks=0)
+        mgr = BaseBlockManager(PAGE, num_device_blocks=11, num_cpu_blocks=0)
         group, seq = make_group(PAGE - 1)
         mgr.allocate(group)
         child = seq.fork(99)
@@ -106,7 +106,7 @@ class TestBaseBlockManager:
         assert mgr.get_block_table(child)[-1] == src
 
     def test_swap_out_in_roundtrip(self):
-        mgr = BaseBlockManager(PAGE, num_device_blocks=10, num_cpu_blocks=10)
+        mgr = BaseBlockManager(PAGE, num_device_blocks=11, num_cpu_blocks=10)
         group, seq = make_group(2 * PAGE)
         mgr.allocate(group)
         seq.status = SequenceStatus.RUNNING
@@ -126,7 +126,7 @@ class TestBaseBlockManager:
 class TestStreamingRing:
     def test_capacity_capped_at_sink_plus_local(self):
         mgr = BaseBlockManager(
-            PAGE, num_device_blocks=20, num_cpu_blocks=0,
+            PAGE, num_device_blocks=21, num_cpu_blocks=0,
             is_streaming=True, sink_blocks=2, local_blocks=3,
         )
         group, seq = make_group(10 * PAGE)  # 10 logical blocks
@@ -137,7 +137,7 @@ class TestStreamingRing:
 
     def test_append_never_grows_past_capacity(self):
         mgr = BaseBlockManager(
-            PAGE, num_device_blocks=20, num_cpu_blocks=0,
+            PAGE, num_device_blocks=21, num_cpu_blocks=0,
             is_streaming=True, sink_blocks=1, local_blocks=2,
         )
         group, seq = make_group(PAGE)
@@ -154,9 +154,9 @@ class TestDualManager:
     def test_dual_pools_compose(self):
         mgr = BlockSpaceManager(
             page_size=PAGE,
-            num_retrieval_blocks=50,
+            num_retrieval_blocks=51,
             num_retrieval_cpu_blocks=10,
-            num_streaming_blocks=10,
+            num_streaming_blocks=11,
             num_streaming_cpu_blocks=5,
             streaming_sink_blocks=1,
             streaming_local_blocks=2,

@@ -97,9 +97,10 @@ class TestDecode:
         assert not meta[0].is_prompt
 
     def test_preemption_by_recompute(self):
-        # 4 blocks total; two 2-block seqs fill the pool; appending forces
+        # 4 usable blocks (5 minus the reserved trash page); two 2-block
+        # seqs fill the pool; appending forces
         # the lower-priority one back to waiting (RECOMPUTE).
-        s = make_scheduler(num_blocks=4, max_tokens=1024)
+        s = make_scheduler(num_blocks=5, max_tokens=1024)
         g1, seq1 = add_request(s, 2 * PAGE)
         g2, seq2 = add_request(s, 2 * PAGE)
         s.schedule()
