@@ -176,6 +176,9 @@ class PrefillBatch(NamedTuple):
     last_token_idx: jnp.ndarray     # [B] int32 index into T (0 if inactive)
     seq_lens: jnp.ndarray           # [B] int32 prompt length (0 if inactive)
     new_page_ids: jnp.ndarray       # [Npg] int32, -1 padded (stats reset)
+    # Chunked-prefill mode only (rectangular [B, Tc] token layout):
+    # tokens in the pool incl. this chunk, per seq. None = single-shot.
+    context_lens: Optional[jnp.ndarray] = None
 
 
 class DecodeBatch(NamedTuple):
@@ -666,7 +669,22 @@ def _layer_step(
     )
     retrieval_pool, streaming_pool = pools
 
-    if is_prefill:
+    if is_prefill and batch.context_lens is not None:
+        # Chunked prefill: attend causally over the paged pool (history +
+        # this chunk, appended above). Rectangular [B, Tc] layout.
+        nb = batch.block_tables.shape[0]
+        tc = t // nb
+        q4 = q.reshape(nb, tc, spec.num_q_heads, spec.head_dim)
+        seg2 = batch.segment_ids.reshape(nb, tc)
+        attn = dispatch.paged_prefill_attention(
+            q4, retrieval_pool, layer_idx, batch.block_tables,
+            jnp.where(seg2 >= 0, batch.positions.reshape(nb, tc), -1),
+            batch.context_lens,
+            sm_scale=spec.sm_scale, page_size=spec.page_size,
+            kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
+        )
+        attn = attn.reshape(t, spec.num_q_heads, spec.head_dim)
+    elif is_prefill:
         head_flags_q = (
             jnp.repeat(meta_l["retrieval_flags"], spec.n_rep)
             if spec.sparse_prefill

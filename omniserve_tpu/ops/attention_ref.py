@@ -322,3 +322,68 @@ def select_topk_pages(
             constant_values=-1,
         )
     return jnp.where(fits[:, None, None], all_sel, sel)
+
+
+def paged_prefill_attention(
+    q: jnp.ndarray,               # [B, Tq, Hq, D] current-chunk queries
+    pool,
+    layer,
+    block_tables: jnp.ndarray,    # [B, max_blocks]
+    q_positions: jnp.ndarray,     # [B, Tq] absolute position (-1 = pad)
+    context_lens: jnp.ndarray,    # [B] tokens in pool incl. current chunk
+    sm_scale: float,
+    page_size: int,
+    kv_bits: int,
+    kv_zeros: bool,
+    head_is_retrieval=None,
+    sink_size: int = 0,
+    local_size: int = 0,
+) -> jnp.ndarray:
+    """Chunked-prefill attention: queries attend CAUSALLY over the paged
+    pool (history + the current chunk, which the caller appends before
+    calling). jnp reference for the Pallas kernel; per-q-head streaming
+    (sink+local band) masks supported like the flash prefill path.
+
+    The reference has no paged prefill (it runs flash over the whole
+    in-register prompt and only chunks the MLP, llama_w4a8_unpad.py:89-112);
+    chunked prefill with paged history is how the TPU build bounds
+    activation memory at 256K context.
+    """
+    from omniserve_tpu.ops.paged_kv import gather_kv_for_seq
+
+    b, tq, hq, d = q.shape
+    max_blocks = block_tables.shape[1]
+    t_kv = max_blocks * page_size
+    outs = []
+    for i in range(b):
+        k, v = gather_kv_for_seq(
+            pool, layer, block_tables[i], page_size, kv_bits, kv_zeros
+        )                                       # [t_kv, Hkv, D] dequantized
+        hkv = k.shape[1]
+        n_rep = hq // hkv
+        kf = _repeat_kv(k.astype(jnp.float32), n_rep)   # [t_kv, Hq, D]
+        vf = _repeat_kv(v.astype(jnp.float32), n_rep)
+        qf = q[i].astype(jnp.float32)                   # [Tq, Hq, D]
+        logits = jnp.einsum("qhd,khd->hqk", qf, kf) * sm_scale
+        kv_pos = jnp.arange(t_kv)
+        qpos = q_positions[i]
+        mask = (
+            (kv_pos[None, :] <= qpos[:, None])
+            & (kv_pos[None, :] < context_lens[i])
+            & (qpos[:, None] >= 0)
+        )                                              # [Tq, t_kv]
+        if head_is_retrieval is not None and (sink_size or local_size):
+            band = (kv_pos[None, :] < sink_size) | (
+                qpos[:, None] - kv_pos[None, :] < local_size
+            )
+            mask_h = jnp.where(
+                head_is_retrieval[:, None, None], mask[None], (mask & band)[None]
+            )                                          # [Hq, Tq, t_kv]
+        else:
+            mask_h = jnp.broadcast_to(mask[None], logits.shape)
+        logits = jnp.where(mask_h, logits, -1e30)
+        p = jax.nn.softmax(logits, axis=-1)
+        p = jnp.where(mask_h, p, 0.0)
+        out = jnp.einsum("hqk,khd->qhd", p, vf)
+        outs.append(out)
+    return jnp.stack(outs).astype(q.dtype)

@@ -74,3 +74,15 @@ def append_kv_decode(pool, layer, k, v, page_ids, slots, page_size,
             pool, layer, k, page_ids, slots, page_size, sub_chunks
         )
     return pool
+
+
+def paged_prefill_attention(*args, **kwargs):
+    """Chunked-prefill attention over the paged pool."""
+    if _on_tpu():
+        try:
+            from omniserve_tpu.ops.pallas import paged_prefill
+
+            return paged_prefill.paged_prefill_attention(*args, **kwargs)
+        except ImportError:
+            pass
+    return attention_ref.paged_prefill_attention(*args, **kwargs)

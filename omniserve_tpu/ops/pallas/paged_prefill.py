@@ -1,0 +1,356 @@
+"""Pallas chunked-prefill attention over the paged quantized KV pool.
+
+The reference never pages prefill attention — it runs flash over the whole
+in-register prompt and only chunks the MLP to cap activations
+(llama_w4a8_unpad.py:89-112). At 256K context that still means multi-GB
+activation buffers per GEMM, so the TPU build chunks the WHOLE prefill:
+each engine-level chunk appends its KV to the pool, then attends causally
+over the pool (history + itself) with this kernel.
+
+Structure mirrors the decode kernel (pallas/paged_attention.py): XLA page
+gather -> [B, T, H, rows, D], then a flash loop over page chunks. Queries
+come in tiles of ``tq`` tokens; per-(kv head, GQA group) matmuls are
+[tq*n_rep, D] x [D, G*page] — real MXU shapes, unlike decode's skinny
+[n_rep, D] rows. Per-q-head streaming (sink+local band) masks give the
+LServe sparse prefill on the paged path too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from omniserve_tpu.ops.paged_kv import KVPool
+from omniserve_tpu.ops.pallas.paged_attention import (
+    MASK_VALUE,
+    _cdiv,
+    _choose_chunk,
+    _gather_pool,
+    _pad_sel,
+)
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    sel_logic_ref,   # [B, T] int32 logical page ids (-1 pad)
+    q_start_ref,     # [B] int32 absolute position of the chunk's 1st token
+    q_count_ref,     # [B] int32 valid queries in the chunk
+    lengths_ref,     # [B] int32 kv tokens (history + chunk)
+    flags_ref,       # [Hkv] int32 1 = retrieval (dense), 0 = streaming
+    pt_ref,          # [2] f32
+    # blocks
+    q_ref,           # [1, tq, Hkv, n_rep, D]
+    k_ref,           # [1, G, Hkv, rows, D]
+    v_ref,
+    sc_ref,          # [1, Hkv, 4, nc, G*page]
+    # out
+    o_ref,           # [1, tq, Hkv, n_rep, D]
+    # scratch
+    m_ref, l_ref, acc_ref,   # [Hkv*tq*n_rep, 128] x2 / [..., D]
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_bits: int,
+    kv_zeros: bool,
+    n_chunks: int,
+    pages_per_chunk: int,
+    n_heads: int,
+    tq: int,
+    sink_size: int,
+    local_size: int,
+    sparse_heads: bool,
+):
+    b = pl.program_id(0)
+    qt = pl.program_id(1)
+    j = pl.program_id(2)
+    g = pages_per_chunk
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = lengths_ref[b]
+    q_start = q_start_ref[b] + qt * tq
+    q_count = q_count_ref[b] - qt * tq    # valid rows in this tile
+
+    logic_vals = [sel_logic_ref[b, j * g + i] for i in range(g)]
+
+    # kv-token positions of this chunk's lanes (page-major)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
+    page_of = lane // page_size
+    within = lane % page_size
+    logic_lane = jnp.full_like(lane, -1)
+    for i in range(g):
+        logic_lane = jnp.where(page_of == i, logic_vals[i], logic_lane)
+    kv_pos = logic_lane * page_size + within
+    kv_ok = (logic_lane >= 0) & (kv_pos < length)     # [1, G*page]
+
+    # query positions per row (rows = tq * n_rep, position repeats n_rep x)
+    n_rep = q_ref.shape[3]
+    rows = tq * n_rep
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    q_pos = q_start + ridx // n_rep                   # [rows, 1]
+    q_ok = ridx // n_rep < q_count
+
+    causal = (kv_pos <= q_pos) & kv_ok & q_ok         # [rows, G*page]
+    if sparse_heads:
+        band = (kv_pos < sink_size) | (q_pos - kv_pos < local_size)
+
+    # skip chunks entirely above the causal diagonal or past the length
+    min_kv = jnp.stack(logic_vals).min() * page_size
+    any_needed = (
+        (jnp.stack(logic_vals).max() >= 0)
+        & (min_kv <= q_start + tq - 1)
+        & (q_count > 0)
+    )
+
+    @pl.when(any_needed)
+    def _compute():
+        for h in range(n_heads):
+            if sparse_heads:
+                mask = jnp.where(flags_ref[h] == 1, causal, causal & band)
+            else:
+                mask = causal
+            rs = slice(h * rows, (h + 1) * rows)
+            q = q_ref[0, :, h].reshape(rows, q_ref.shape[-1]).astype(
+                jnp.float32
+            )
+            q_bf = q.astype(jnp.bfloat16)
+
+            def raw_block(ref):
+                raw = ref[0, :, h]                    # [G, rows_pg, D]
+                if kv_bits == 16:
+                    return raw.reshape(
+                        g * raw.shape[-2], raw.shape[-1]
+                    ).astype(jnp.bfloat16)
+                raw_i = raw.astype(jnp.int32)
+                if kv_bits == 4:
+                    lo = (raw_i & 0xF).astype(jnp.bfloat16)
+                    hi = (raw_i >> 4).astype(jnp.bfloat16)
+                    cat = jnp.concatenate([lo, hi], axis=1)
+                    return cat.reshape(g * page_size, -1)
+                return raw_i.reshape(
+                    g * raw.shape[-2], raw.shape[-1]
+                ).astype(jnp.bfloat16)
+
+            def scales(plane):
+                # [1, H, 4, nc, G*page]: chunk j indexed on dim 3
+                return sc_ref[0, h, plane, j][None, :]
+
+            k_u = raw_block(k_ref)                    # [G*page, D]
+            qk_int = jax.lax.dot_general(
+                q_bf, k_u,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                         # [rows, G*page]
+            if kv_bits == 16:
+                qk = qk_int * sm_scale
+            elif kv_zeros:
+                sc = scales(0)
+                z = scales(1)
+                q_sum = jnp.sum(q, axis=1, keepdims=True)
+                qk = (qk_int * sc - (sc * z) * q_sum) * sm_scale
+            else:
+                bias = 8.0 if kv_bits == 4 else 128.0
+                q_sum = jnp.sum(q, axis=1, keepdims=True)
+                qk = (qk_int - bias * q_sum) * (pt_ref[0] * sm_scale)
+            qk = jnp.where(mask, qk, MASK_VALUE)
+
+            m_prev = m_ref[rs, 0][:, None]
+            l_prev = l_ref[rs, 0][:, None]
+            m_curr = jnp.max(qk, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.where(mask, jnp.exp(qk - m_next), 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[rs, :] = jnp.broadcast_to(m_next, (rows, 128))
+            l_ref[rs, :] = jnp.broadcast_to(l_next, (rows, 128))
+
+            v_u = raw_block(v_ref)
+            if kv_bits == 16:
+                p_eff, corr, v_scale = p, 0.0, 1.0
+            elif kv_zeros:
+                vs = scales(2)
+                vz = scales(3)
+                p_eff = p * vs
+                corr = jnp.sum(p_eff * vz, axis=1, keepdims=True)
+                v_scale = 1.0
+            else:
+                bias = 8.0 if kv_bits == 4 else 128.0
+                p_eff = p
+                corr = bias * jnp.sum(p, axis=1, keepdims=True)
+                v_scale = pt_ref[1]
+            pv = jax.lax.dot_general(
+                p_eff.astype(jnp.bfloat16), v_u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[rs, :] = acc_ref[rs, :] * alpha + (pv - corr) * v_scale
+
+    @pl.when(j == n_chunks - 1)
+    def _finalize():
+        n_rep = o_ref.shape[3]
+        d = o_ref.shape[-1]
+        rows = tq * n_rep
+        for h in range(n_heads):
+            rs = slice(h * rows, (h + 1) * rows)
+            l = jnp.maximum(l_ref[rs, 0][:, None], 1e-10)
+            o_ref[0, :, h] = (acc_ref[rs, :] / l).reshape(
+                tq, n_rep, d
+            ).astype(o_ref.dtype)
+
+
+def paged_prefill_attention(
+    q: jnp.ndarray,               # [B, Tq, Hq, D]
+    pool: KVPool,
+    layer,
+    block_tables: jnp.ndarray,    # [B, max_blocks]
+    q_positions: jnp.ndarray,     # [B, Tq] (contiguous per seq; -1 pad)
+    context_lens: jnp.ndarray,    # [B]
+    sm_scale: float,
+    page_size: int,
+    kv_bits: int,
+    kv_zeros: bool,
+    head_is_retrieval=None,
+    sink_size: int = 0,
+    local_size: int = 0,
+    tile_q: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal multi-query attention over the paged pool (history + chunk).
+
+    ``q_positions`` rows must be ``start + arange(count)`` then -1 padding
+    (the packed chunk layout the model runner produces).
+    """
+    b, tq_total, hq, d = q.shape
+    hkv = pool.num_heads
+    n_rep = hq // hkv
+    max_blocks = block_tables.shape[1]
+
+    # page list: all pages holding < context_lens tokens
+    n_pages = (context_lens + page_size - 1) // page_size
+    tile = jnp.arange(max_blocks)
+    sel_logic = jnp.where(tile[None, :] < n_pages[:, None], tile[None, :],
+                          -1)
+    sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
+    g = _choose_chunk(sel_logic.shape[-1])
+    sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g)
+    kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
+    n_tiles = sel_logic.shape[-1]
+    n_chunks = n_tiles // g
+    rows_pg = kd.shape[-2]
+
+    tq = min(tile_q, tq_total)
+    q_tiles = _cdiv(tq_total, tq)
+    if q_tiles * tq != tq_total:
+        pad = q_tiles * tq - tq_total
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+    q5 = q.reshape(b, q_tiles * tq, hkv, n_rep, d)
+
+    # per-seq chunk start & count from q_positions
+    q_start = q_positions[:, 0].astype(jnp.int32)
+    q_count = (q_positions >= 0).sum(axis=1).astype(jnp.int32)
+
+    # scales -> [B, H, 4, nc*G*page] kernel lane order (reuse decode layout)
+    fine = kv_bits < 16 and kv_zeros
+
+    def flatten_scale(s):
+        # page-major lane order, same as the decode kernel's layout
+        if s is None:
+            return None
+        bb, tt, hh, pg4 = s.shape
+        pg = pg4 // 4
+        s = s.reshape(bb, tt, hh, 4, pg).transpose(0, 2, 3, 1, 4)
+        return s.reshape(bb, hh, 4, n_chunks, g * pg)
+
+    ksc = flatten_scale(ksc)
+
+    if head_is_retrieval is not None and (sink_size or local_size):
+        flags = head_is_retrieval.astype(jnp.int32)
+        if flags.shape[0] == hq:       # per-q-head -> per-kv-head
+            flags = flags[::n_rep]
+        sparse = True
+    else:
+        flags = jnp.ones((hkv,), jnp.int32)
+        sparse = False
+
+    if pool.k_scale_per_tensor is not None:
+        pt_arr = jnp.stack([
+            pool.k_scale_per_tensor[layer], pool.v_scale_per_tensor[layer]
+        ]).astype(jnp.float32)
+    else:
+        pt_arr = jnp.zeros((2,), jnp.float32)
+
+    data_spec = pl.BlockSpec(
+        (1, g, hkv, rows_pg, d),
+        lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (b_, j_, 0, 0, 0),
+    )
+    gp = g * page_size
+    if fine:
+        sc_input = ksc
+        sc_spec = pl.BlockSpec(
+            (1, hkv, 4, n_chunks, gp),
+            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (b_, 0, 0, 0, 0),
+        )
+    else:
+        sc_input = jnp.zeros((1, hkv, 4, n_chunks, gp), jnp.float32)
+        sc_spec = pl.BlockSpec(
+            (1, hkv, 4, n_chunks, gp),
+            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (0,) * 5,
+        )
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        kv_bits=kv_bits,
+        kv_zeros=kv_zeros,
+        n_chunks=n_chunks,
+        pages_per_chunk=g,
+        n_heads=hkv,
+        tq=tq,
+        sink_size=int(sink_size),
+        local_size=int(local_size),
+        sparse_heads=sparse,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b, q_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tq, hkv, n_rep, d),
+                lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt:
+                (b_, qt_, 0, 0, 0),
+            ),
+            data_spec, data_spec, sc_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq, hkv, n_rep, d),
+            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (b_, qt_, 0, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * tq * n_rep, 128), jnp.float32),
+            pltpu.VMEM((hkv * tq * n_rep, 128), jnp.float32),
+            pltpu.VMEM((hkv * tq * n_rep, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, q_tiles * tq, hkv, n_rep, d),
+                                       q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(sel_logic.astype(jnp.int32), q_start, q_count,
+      context_lens.astype(jnp.int32), flags, pt_arr, q5, kd, vd, sc_input)
+    return out.reshape(b, q_tiles * tq, hq, d)[:, :tq_total]

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from omniserve_tpu import csrc
 from omniserve_tpu.attn_config import SpAttnConfig
 from omniserve_tpu.config import (
     CacheConfig,
@@ -99,8 +100,11 @@ class ModelRunner:
             head_rank = sp_attn_config.head_rank_table
 
         if load_format == "dummy":
+            # packed generator: draws quantized arrays directly on device
+            # (the fp32-draw+quantize path costs ~20 min / 30 GB host RAM
+            # for an 8B model)
             maker = (mixtral.make_random_params if is_moe
-                     else llama.make_random_params)
+                     else llama.make_random_packed_params)
             self.params = maker(
                 self.spec, seed=model_config.seed,
                 retrieval_flags=retrieval_flags, head_rank=head_rank,
@@ -264,18 +268,16 @@ class ModelRunner:
         self._current_tables = [e[4] for e in entries]
         w = self._table_width()
         sw = self.spec.sink_blocks + self.spec.local_blocks
-        token_ids = np.zeros(b_pad, np.int32)
-        positions = np.zeros(b_pad, np.int32)
-        active = np.zeros(b_pad, bool)
-        bt = np.zeros((b_pad, w), np.int32)
-        st = np.zeros((b_pad, sw), np.int32)
+        # native (C++) one-pass batch assembly; numpy fallback inside
+        token_ids, positions, active, bt, st, _, _ = (
+            csrc.build_decode_batch(
+                [(e[0], e[2], e[3], e[4], e[5]) for e in entries],
+                page_size=self.spec.page_size, b_pad=b_pad, w=w, sw=sw,
+                max_new_pages=0,
+            )
+        )
         slot_to_seq: List[int] = [-1] * b_pad
-        for slot, seq_id, token, pos, tbl, stbl in entries:
-            token_ids[slot] = token
-            positions[slot] = pos
-            active[slot] = True
-            bt[slot, : len(tbl)] = tbl
-            st[slot, : len(stbl)] = stbl
+        for slot, seq_id, _tok, _pos, _tbl, _stbl in entries:
             slot_to_seq[slot] = seq_id
 
         # dynamic selection cache: refresh on interval or batch change
@@ -341,6 +343,94 @@ class ModelRunner:
         )
         return np.asarray(ids)
 
+    # -- chunked prefill -----------------------------------------------------
+    def _execute_chunked_prefill(self, metadata, budget: int):
+        """Prefill long/packed prompts in rectangular [B, Tc] chunks.
+
+        Each chunk appends its KV to the pool, then attends causally over
+        the pool (history + itself) via the paged-prefill kernel. Bounds
+        activation memory the way the reference's chunked MLP does
+        (llama_w4a8_unpad.py:89-112) but for the WHOLE layer stack, which
+        also caps the compiled prefill program size. Dense-attention mode
+        only (sparse prefill keeps the in-register flash path).
+        """
+        ce = self.cache_engine
+        seqs = []
+        for group in metadata:
+            for seq_id, data in group.seq_data.items():
+                seqs.append((
+                    seq_id,
+                    data.get_token_ids(),
+                    group.block_tables[seq_id],
+                ))
+        bsz = len(seqs)
+        b_pad = next_pow2(bsz, minimum=1)
+        page = self.spec.page_size
+        tc = max(page, (budget // b_pad) // page * page)
+        max_len = max(len(x[1]) for x in seqs)
+        n_chunks = -(-max_len // tc)
+        w = next_pow2(max(len(x[2]) for x in seqs), minimum=4)
+        bt = np.zeros((b_pad, w), np.int32)
+        full_lens = np.zeros(b_pad, np.int32)
+        for i, x in enumerate(seqs):
+            bt[i, : len(x[2])] = x[2]
+            full_lens[i] = len(x[1])
+        bt_dev = jnp.asarray(bt)
+        sw = max(1, self.spec.sink_blocks + self.spec.local_blocks)
+        st_dev = jnp.zeros((b_pad, sw), jnp.int32)
+
+        merge = jax.jit(lambda a, b, m: jnp.where(m[:, None], b, a))
+        final_logits = None
+        for ci in range(n_chunks):
+            tokens = np.zeros((b_pad, tc), np.int32)
+            pos = np.zeros((b_pad, tc), np.int32)
+            seg = np.full((b_pad, tc), -1, np.int32)
+            ctx = np.zeros(b_pad, np.int32)
+            last_idx = np.zeros(b_pad, np.int32)
+            ends = np.zeros(b_pad, bool)
+            new_pages: List[int] = []
+            for i, (seq_id, ids, tbl) in enumerate(seqs):
+                lo = ci * tc
+                hi = min(len(ids), lo + tc)
+                if hi <= lo:
+                    ctx[i] = len(ids)
+                    continue
+                n = hi - lo
+                tokens[i, :n] = ids[lo:hi]
+                pos[i, :n] = np.arange(lo, hi)
+                seg[i, :n] = i
+                ctx[i] = hi
+                if hi == len(ids):
+                    ends[i] = True
+                    last_idx[i] = i * tc + n - 1
+                first_pg = lo // page
+                last_pg = (hi - 1) // page
+                new_pages.extend(tbl[first_pg: last_pg + 1])
+            npg_pad = next_pow2(max(1, len(new_pages)), minimum=8)
+            npg = np.full(npg_pad, -1, np.int32)
+            npg[: len(new_pages)] = new_pages
+            batch = PrefillBatch(
+                token_ids=jnp.asarray(tokens.reshape(-1)),
+                positions=jnp.asarray(pos.reshape(-1)),
+                segment_ids=jnp.asarray(seg.reshape(-1)),
+                block_tables=bt_dev,
+                streaming_block_tables=st_dev,
+                last_token_idx=jnp.asarray(last_idx),
+                seq_lens=jnp.asarray(full_lens),
+                new_page_ids=jnp.asarray(npg),
+                context_lens=jnp.asarray(ctx),
+            )
+            logits, rpool, spool, _ = self._forward[True](
+                self.params, ce.retrieval_pool, ce.streaming_pool, batch
+            )
+            ce.set_pools(rpool, spool)
+            if final_logits is None:
+                final_logits = logits
+            else:
+                final_logits = merge(final_logits, logits,
+                                     jnp.asarray(ends))
+        return final_logits, [x[0] for x in seqs], bsz
+
     # -- execution -------------------------------------------------------------
     def execute_model(
         self, metadata: List[SequenceGroupMetadata]
@@ -350,11 +440,24 @@ class ModelRunner:
         is_prefill = metadata[0].is_prompt
         ce = self.cache_engine
         if is_prefill:
-            batch, seq_ids, n_seqs = self._prepare_prefill(metadata)
-            logits, rpool, spool, _ = self._forward[True](
-                self.params, ce.retrieval_pool, ce.streaming_pool, batch
+            total_tokens = sum(
+                len(d.get_token_ids())
+                for g in metadata for d in g.seq_data.values()
             )
-            ce.set_pools(rpool, spool)
+            chunk_budget = getattr(
+                self.scheduler_config, "chunk_prefill_size", 32000
+            )
+            if (total_tokens > chunk_budget
+                    and not self.spec.sparse_prefill):
+                logits, seq_ids, n_seqs = self._execute_chunked_prefill(
+                    metadata, chunk_budget
+                )
+            else:
+                batch, seq_ids, n_seqs = self._prepare_prefill(metadata)
+                logits, rpool, spool, _ = self._forward[True](
+                    self.params, ce.retrieval_pool, ce.streaming_pool, batch
+                )
+                ce.set_pools(rpool, spool)
             rows = list(range(n_seqs))
             token_ids = self._sample(logits, metadata, rows)
             sampled = token_ids[:n_seqs]

@@ -1,0 +1,73 @@
+"""Chunked prefill must be token-identical to single-shot prefill."""
+
+import numpy as np
+import pytest
+
+from omniserve_tpu import EngineArgs, LLMEngine, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    from transformers import LlamaConfig
+
+    d = tmp_path_factory.mktemp("tiny_llama_chunk")
+    LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_hidden_layers=2,
+        vocab_size=256,
+        max_position_embeddings=4096,
+    ).save_pretrained(d)
+    return str(d)
+
+
+def _run(tiny_model_dir, chunk_prefill_size, prompts, gen=4):
+    args = EngineArgs(
+        model=tiny_model_dir,
+        precision="w4a8kv4",
+        load_format="dummy",
+        block_size=16,
+        max_num_seqs=8,
+        max_num_batched_tokens=8192,
+        num_retrieval_blocks=128,
+        chunk_prefill_size=chunk_prefill_size,
+    )
+    engine = LLMEngine.from_engine_args(args)
+    for i, p in enumerate(prompts):
+        engine.add_request(
+            f"r{i}", prompt_token_ids=p,
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=gen,
+                                           ignore_eos=True),
+        )
+    outs = {}
+    steps = 0
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = o.outputs[0].token_ids
+        steps += 1
+        assert steps < 80
+    return outs
+
+
+def test_chunked_matches_single_shot(tiny_model_dir):
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(1, 255, size=n).tolist() for n in (150, 90, 40)
+    ]
+    # single-shot (budget far above total) vs chunked (64-token chunks)
+    want = _run(tiny_model_dir, 32000, prompts)
+    got = _run(tiny_model_dir, 64, prompts)
+    assert want.keys() == got.keys()
+    for k in want:
+        assert want[k] == got[k], f"{k}: {want[k]} vs {got[k]}"
+
+
+def test_single_long_prompt_chunked(tiny_model_dir):
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, 255, size=500).tolist()]
+    want = _run(tiny_model_dir, 32000, prompts)
+    got = _run(tiny_model_dir, 128, prompts)
+    assert want["r0"] == got["r0"]
