@@ -23,10 +23,16 @@ def tiny_model_dir(tmp_path_factory):
     return str(d)
 
 
-def _run(tiny_model_dir, chunk_prefill_size, prompts, gen=4):
+def _run(tiny_model_dir, chunk_prefill_size, prompts, gen=4,
+         precision="w16a16kv16"):
+    # Unquantized path: chunked and single-shot prefill are numerically
+    # equivalent (the chunked path attends to POOL KV; with kv4/kv8 the
+    # current chunk is read back quantized, so greedy decode can diverge
+    # after a few steps — that quant-noise path is covered with tolerances
+    # in tests/test_paged_prefill.py).
     args = EngineArgs(
         model=tiny_model_dir,
-        precision="w4a8kv4",
+        precision=precision,
         load_format="dummy",
         block_size=16,
         max_num_seqs=8,
@@ -70,4 +76,14 @@ def test_single_long_prompt_chunked(tiny_model_dir):
     prompts = [rng.integers(1, 255, size=500).tolist()]
     want = _run(tiny_model_dir, 32000, prompts)
     got = _run(tiny_model_dir, 128, prompts)
+    assert want["r0"] == got["r0"]
+
+
+def test_quantized_chunked_first_token(tiny_model_dir):
+    """With kv4 the chunked path reads back quantized current-chunk KV;
+    the first greedy token must still agree with single-shot."""
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 255, size=150).tolist()]
+    want = _run(tiny_model_dir, 32000, prompts, gen=1, precision="w4a8kv4")
+    got = _run(tiny_model_dir, 64, prompts, gen=1, precision="w4a8kv4")
     assert want["r0"] == got["r0"]
