@@ -61,7 +61,7 @@ def main() -> None:
             "NUM_RETRIEVAL_GPU_PAGE_BLOCKS" not in os.environ:
         blocks = (prompt_len + gen_len + args.block_size - 1) \
             // args.block_size + 1
-        args.num_retrieval_blocks = blocks * batch
+        args.num_retrieval_blocks = blocks * batch + 2
 
     engine = LLMEngine.from_engine_args(EngineArgs.from_cli_args(args))
     # warmup round (compilation)

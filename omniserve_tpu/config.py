@@ -198,9 +198,14 @@ class DeviceConfig:
 
 @dataclasses.dataclass
 class IFBConfig:
-    """In-flight (continuous) batching toggle (reference config.py:365)."""
+    """In-flight (continuous) batching toggle (reference config.py:365).
+
+    ``decode_multi_step``: in static-batch (non-IFB) mode with greedy
+    sampling, advance this many decode tokens per engine step inside ONE
+    jitted scan — amortizes per-step host prep and device->host syncs."""
 
     ifb_mode: bool = True
+    decode_multi_step: int = 1
 
 
 @dataclasses.dataclass

@@ -154,6 +154,16 @@ class BaseBlockManager:
         n_running = len(seq_group.get_seqs(SequenceStatus.RUNNING))
         return self.device_allocator.get_num_free_blocks() >= n_running
 
+    def reserve_slots(self, seq: Sequence, extra_tokens: int) -> None:
+        """Pre-grow the table to cover ``extra_tokens`` future appends
+        (multi-step decode allocates its pages up front)."""
+        needed = -(-(seq.get_len() + extra_tokens) // self.page_size)
+        if self.is_streaming:
+            needed = min(needed, self.sink_blocks + self.local_blocks)
+        table = self.block_tables[seq.seq_id]
+        while len(table) < needed:
+            table.append(self.device_allocator.allocate())
+
     def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
         """Account for one appended token.
 
@@ -329,6 +339,10 @@ class BlockSpaceManager:
         r = self.retrieval.append_slot(seq)
         s = self.streaming.append_slot(seq) if self.streaming else None
         return r, s
+
+    def reserve_slots(self, seq: Sequence, extra_tokens: int) -> None:
+        for p in self._pools():
+            p.reserve_slots(seq, extra_tokens)
 
     def fork(self, parent: Sequence, child: Sequence) -> None:
         for p in self._pools():

@@ -55,6 +55,7 @@ class EngineArgs:
     max_num_seqs: int = 256
     chunk_prefill_size: int = 32000
     ifb_mode: bool = True
+    decode_multi_step: int = 1
     benchmarking_mode: bool = False
     # sparse attention (LServe)
     sparse_context_mode: bool = False
@@ -105,6 +106,9 @@ class EngineArgs:
         parser.add_argument("--max-num-seqs", type=int, default=256)
         parser.add_argument("--chunk-prefill-size", type=int, default=32000)
         parser.add_argument("--ifb-mode", action="store_true", default=True)
+        parser.add_argument("--decode-multi-step", type=int, default=1,
+                            help="non-IFB greedy decode tokens per engine "
+                                 "step (one jitted scan)")
         parser.add_argument("--no-ifb-mode", dest="ifb_mode",
                             action="store_false")
         parser.add_argument("--benchmarking-mode", action="store_true",
@@ -209,7 +213,8 @@ class EngineArgs:
             parallel_config=parallel_config,
             scheduler_config=scheduler_config,
             device_config=DeviceConfig(),
-            ifb_config=IFBConfig(ifb_mode=self.ifb_mode),
+            ifb_config=IFBConfig(ifb_mode=self.ifb_mode,
+                                 decode_multi_step=self.decode_multi_step),
             sp_attn_config=sp_attn_config,
             load_format=self.load_format,
             benchmarking_mode=self.benchmarking_mode,

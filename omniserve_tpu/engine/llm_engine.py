@@ -102,6 +102,7 @@ class LLMEngine:
         # non-IFB static-batch state
         self._static_metadata: Optional[List[SequenceGroupMetadata]] = None
         self._static_outputs: Optional[SchedulerOutputs] = None
+        self._multi_step_buffer: List = []
 
         self.decoding_sim_length = int(
             os.environ.get("DECODING_SIMULATION_LENGTH", "0")
@@ -191,7 +192,20 @@ class LLMEngine:
 
     def _step_static(self) -> List[RequestOutput]:
         """Non-IFB: schedule once, then reuse the static batch
-        (reference llm_engine.py:562-592)."""
+        (reference llm_engine.py:562-592). With
+        ``ifb_config.decode_multi_step > 1`` decode advances several tokens
+        per worker call inside one jitted scan; subsequent step() calls
+        drain the buffered per-token outputs."""
+        if self._static_metadata is None:
+            self._multi_step_buffer.clear()   # new static batch
+        if self._multi_step_buffer:
+            samples = self._multi_step_buffer.pop(0)
+            self._grow_static_tables()
+            return self._process_model_outputs(
+                samples, self._static_outputs,
+                check_stop=not self.benchmarking_mode,
+            )
+        n_multi = max(1, self.ifb_config.decode_multi_step)
         if self._static_metadata is None:
             self._static_metadata, self._static_outputs = (
                 self.scheduler.schedule()
@@ -199,27 +213,59 @@ class LLMEngine:
         else:
             for meta in self._static_metadata:
                 meta.is_prompt = False
-            # grow block tables for the decode steps
-            for meta, group in zip(
-                self._static_metadata,
-                self._static_outputs.scheduled_seq_groups,
-            ):
-                for seq in group.get_seqs(SequenceStatus.RUNNING):
-                    self.scheduler.block_manager.append_slot(seq)
-                    meta.block_tables[seq.seq_id] = (
-                        self.scheduler.block_manager.get_block_table(seq)
-                    )
-                    if self.scheduler.block_manager.streaming is not None:
-                        meta.streaming_block_tables[seq.seq_id] = (
-                            self.scheduler.block_manager
-                            .get_streaming_block_table(seq)
+            self._grow_static_tables()
+            if n_multi > 1 and self._all_greedy():
+                # reserve pages for the whole window, run the scan, buffer
+                for group in self._static_outputs.scheduled_seq_groups:
+                    for seq in group.get_seqs(SequenceStatus.RUNNING):
+                        self.scheduler.block_manager.reserve_slots(
+                            seq, n_multi
                         )
+                self._refresh_static_tables()
+                outs = self.worker.execute_model_multi_step(
+                    self._static_metadata, n_multi
+                )
+                self._multi_step_buffer = outs[1:]
+                return self._process_model_outputs(
+                    outs[0], self._static_outputs,
+                    check_stop=not self.benchmarking_mode,
+                )
         samples = self.worker.execute_model(
             self._static_metadata, {}, {}, {}, {}, {}, {}
         )
         return self._process_model_outputs(
             samples, self._static_outputs, check_stop=not self.benchmarking_mode
         )
+
+    def _all_greedy(self) -> bool:
+        return all(
+            g.sampling_params.temperature < 1e-5
+            for g in self._static_outputs.scheduled_seq_groups
+        )
+
+    def _refresh_static_tables(self) -> None:
+        for meta, group in zip(
+            self._static_metadata,
+            self._static_outputs.scheduled_seq_groups,
+        ):
+            for seq in group.get_seqs(SequenceStatus.RUNNING):
+                meta.block_tables[seq.seq_id] = (
+                    self.scheduler.block_manager.get_block_table(seq)
+                )
+                if self.scheduler.block_manager.streaming is not None:
+                    meta.streaming_block_tables[seq.seq_id] = (
+                        self.scheduler.block_manager
+                        .get_streaming_block_table(seq)
+                    )
+
+    def _grow_static_tables(self) -> None:
+        for meta, group in zip(
+            self._static_metadata,
+            self._static_outputs.scheduled_seq_groups,
+        ):
+            for seq in group.get_seqs(SequenceStatus.RUNNING):
+                self.scheduler.block_manager.append_slot(seq)
+        self._refresh_static_tables()
 
     # ------------------------------------------------------------------
     def _process_model_outputs(

@@ -343,6 +343,91 @@ class ModelRunner:
         )
         return np.asarray(ids)
 
+    # -- multi-step decode (static batch, greedy) ----------------------------
+    def execute_model_multi_step(
+        self, metadata: List[SequenceGroupMetadata], n_steps: int
+    ) -> List[SamplerOutput]:
+        """Advance ``n_steps`` greedy decode tokens in one jitted scan.
+
+        Static-batch benchmark path: block tables must already cover
+        ``n_steps`` future tokens (engine reserves them). Amortizes per-step
+        host prep and the device->host token sync across the whole window.
+        """
+        ce = self.cache_engine
+        batch, seq_ids, slots, _ = self._prepare_decode(metadata)
+        fn = self._multi_step_fns(n_steps)
+        tokens, rpool, spool, new_sel = fn(
+            self.params, ce.retrieval_pool, ce.streaming_pool, batch
+        )
+        ce.set_pools(rpool, spool)
+        if new_sel is not None:
+            self._cached_page_idxes = new_sel
+        self._decode_steps += n_steps
+        toks = np.asarray(tokens)  # [n_steps, B]
+        outputs: List[SamplerOutput] = []
+        for i in range(n_steps):
+            step_out: SamplerOutput = []
+            row = toks[i][slots]
+            k = 0
+            for group in metadata:
+                samples = []
+                for seq_id in group.seq_data:
+                    samples.append(SequenceOutput(seq_id, int(row[k])))
+                    k += 1
+                step_out.append(SequenceGroupOutput(samples))
+            outputs.append(step_out)
+        return outputs
+
+    @functools.lru_cache(maxsize=8)
+    def _multi_step_fns(self, n_steps: int):
+        spec = self.spec
+        page = spec.page_size
+        interval = max(1, spec.selector_interval)
+
+        def run(params, rpool, spool, batch):
+            b = batch.positions.shape[0]
+
+            def step0_pages(bd):
+                return jnp.where(
+                    (bd.positions % page == 0) & bd.active,
+                    bd.block_tables[
+                        jnp.arange(b),
+                        jnp.minimum(bd.positions // page,
+                                    bd.block_tables.shape[1] - 1),
+                    ],
+                    -1,
+                )
+
+            # scan carry must keep one shape: [B]-sized new-page list
+            batch = batch._replace(new_page_ids=step0_pages(batch))
+
+            def body(carry, i):
+                rpool, spool, bd = carry
+                logits, rpool, spool, new_sel = self._model_forward(
+                    params, rpool, spool, bd, spec=spec, is_prefill=False
+                )
+                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                pos2 = bd.positions + 1
+                bd2 = bd._replace(
+                    token_ids=toks,
+                    positions=pos2,
+                    refresh_selection=(i + 1) % interval == 0,
+                    cached_page_idxes=(
+                        new_sel if new_sel is not None
+                        else bd.cached_page_idxes
+                    ),
+                )
+                bd2 = bd2._replace(new_page_ids=step0_pages(bd2))
+                return (rpool, spool, bd2), toks
+
+            (rpool, spool, bd), tokens = jax.lax.scan(
+                body, (rpool, spool, batch), jnp.arange(n_steps)
+            )
+            sel = bd.cached_page_idxes if spec.sparse_decode else None
+            return tokens, rpool, spool, sel
+
+        return jax.jit(run, donate_argnums=(1, 2))
+
     # -- chunked prefill -----------------------------------------------------
     def _execute_chunked_prefill(self, metadata, budget: int):
         """Prefill long/packed prompts in rectangular [B, Tc] chunks.

@@ -54,6 +54,11 @@ class Worker:
             load_format=load_format, mesh=mesh,
         )
 
+    def execute_model_multi_step(self, seq_group_metadata_list, n_steps):
+        return self.model_runner.execute_model_multi_step(
+            seq_group_metadata_list, n_steps
+        )
+
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],

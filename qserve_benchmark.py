@@ -62,7 +62,8 @@ def main() -> None:
             "NUM_RETRIEVAL_GPU_PAGE_BLOCKS" not in os.environ:
         blocks = (prompt_len + gen_len + args.block_size - 1) \
             // args.block_size + 1
-        args.num_retrieval_blocks = blocks * batch
+        # +2: one reserved trash page (block manager) + one spare
+        args.num_retrieval_blocks = blocks * batch + 2
     args.max_num_seqs = max(args.max_num_seqs, batch)
     args.max_num_batched_tokens = max(
         args.max_num_batched_tokens, batch * prompt_len
