@@ -139,8 +139,25 @@ class SpAttnConfig:
         # `static_sparsity` fraction of ALL heads becomes streaming
         # (reference attn_config.py:112-151).
         if self.static_sparsity > 0.0:
-            thresh = np.quantile(self.scores.reshape(-1), self.static_sparsity)
-            self.retrieval_head_flags = self.scores > thresh
+            if np.allclose(self.scores, self.scores.reshape(-1)[0]):
+                # no calibration scores (uniform): split by head index so
+                # benchmarks without a DuoAttention tsv still get the
+                # requested sparsity per layer
+                keep = max(1, int(round(
+                    self.num_kv_heads * (1.0 - self.static_sparsity)
+                )))
+                self.retrieval_head_flags = np.zeros_like(
+                    self.scores, dtype=bool
+                )
+                self.retrieval_head_flags[:, :keep] = True
+                self.head_rank_table = None  # rebuilt below
+                thresh = None
+            else:
+                thresh = np.quantile(
+                    self.scores.reshape(-1), self.static_sparsity
+                )
+            if thresh is not None:
+                self.retrieval_head_flags = self.scores > thresh
             # Guarantee at least one retrieval head per layer so every layer
             # keeps full-history capability.
             for layer in range(self.num_layers):

@@ -300,13 +300,17 @@ def select_topk_pages(
         scores,
         NEG_INF,
     )
-    k = budget_pages - 1
+    k = min(budget_pages - 1, max_blocks)  # table may be narrower early on
     top_scores, top_idx = jax.lax.top_k(scored, k)  # [B, Hkv, k]
     top_idx = jnp.where(top_scores > NEG_INF, top_idx, -1)
     sel = jnp.concatenate(
         [jnp.broadcast_to(newest[:, None, None], (b, hkv, 1)), top_idx],
         axis=2,
     )
+    if sel.shape[2] < budget_pages:
+        sel = jnp.pad(sel, ((0, 0), (0, 0),
+                            (0, budget_pages - sel.shape[2])),
+                      constant_values=-1)
     # If everything fits in budget, select all pages instead.
     fits = n_pages <= budget_pages  # [B]
     all_pages = jnp.where(

@@ -12,8 +12,12 @@ For streaming heads, kv blocks entirely outside the sink window and the
 local band of the current q block are also skipped (block-sparse prefill —
 the LServe up-to-2.9x prefill win).
 
-Grid: (q_heads, q_blocks, kv_blocks) with online softmax across the kv
-block dimension.
+Grid: (q_blocks, kv_blocks) with ALL kv heads processed inside each step.
+Each GQA group's n_rep query heads are PRE-MERGED into the row axis
+outside the kernel (q laid out [Hkv, T*n_rep, D]), so the per-group dot is
+[bq*n_rep, D] x [D, bk] — full MXU tiles — and the segment/causal/band
+masks are built once per tile pair (an earlier (head, q, kv) grid spent
+most of its time on per-head mask rebuilds and tiny matmul issues).
 """
 
 from __future__ import annotations
@@ -30,17 +34,18 @@ MASK_VALUE = -1e37
 
 def _flash_kernel(
     # scalar prefetch
-    head_flags_ref,   # [Hq] int32: 1 = retrieval (dense), 0 = streaming
+    head_flags_ref,   # [Hkv] int32: 1 = retrieval (dense), 0 = streaming
     kblk_minpos_ref,  # [n_kv_blocks] int32 min position in each kv block
-    q_ref,            # [1, bq, D]
-    k_ref,            # [1, bk, D]
-    v_ref,            # [1, bk, D]
-    qseg_ref,         # [1, bq] int32
+    # blocks
+    q_ref,            # [Hkv, bq*n_rep, D] (GQA rows pre-merged)
+    k_ref,            # [Hkv, bk, D]
+    v_ref,            # [Hkv, bk, D]
+    qseg_ref,         # [1, bq*n_rep] int32 (row-level, pre-repeated)
     kseg_ref,         # [1, bk] int32
-    qpos_ref,         # [1, bq] int32
+    qpos_ref,         # [1, bq*n_rep] int32
     kpos_ref,         # [1, bk] int32
-    o_ref,            # [1, bq, D]
-    m_ref, l_ref, acc_ref,
+    o_ref,            # [Hkv, bq*n_rep, D]
+    m_ref, l_ref, acc_ref,   # [Hkv*bq*n_rep, 128] x2 / [..., D]
     *,
     sm_scale: float,
     block_q: int,
@@ -49,10 +54,12 @@ def _flash_kernel(
     local_size: int,
     sparse_heads: bool,
     n_kv_blocks: int,
+    n_rep: int,
 ):
-    h = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    hkv, rows, d = q_ref.shape
+    bq = rows // n_rep
 
     @pl.when(j == 0)
     def _init():
@@ -63,62 +70,58 @@ def _flash_kernel(
     # global-causal block-level skip: kv block strictly above the diagonal
     below_diag = j * block_k <= i * block_q + block_q - 1
 
-    if sparse_heads:
-        is_retrieval = head_flags_ref[h] == 1
-        # Streaming-head block skip: a kv block is needed iff it may hold a
-        # sink token (its min within-segment position < sink) or a token
-        # within `local` of some q row of this block. Within one segment,
-        # position distance equals packed global-index distance, so the
-        # band test on global block indices is exact for same-segment
-        # pairs (cross-segment pairs are masked anyway).
-        may_hold_sink = kblk_minpos_ref[j] < sink_size
-        min_dist = i * block_q - (j + 1) * block_k + 1
-        coarse_keep = is_retrieval | may_hold_sink | (min_dist < local_size)
-    else:
-        coarse_keep = True
-
-    @pl.when(below_diag & coarse_keep)
+    @pl.when(below_diag)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)         # [bq, D]
-        k = k_ref[0].astype(jnp.float32)
-        qk = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale                              # [bq, bk]
-
-        qseg = qseg_ref[0][:, None]               # [bq, 1]
+        qseg = qseg_ref[0][:, None]               # [rows, 1]
         kseg = kseg_ref[0][None, :]               # [1, bk]
         qpos = qpos_ref[0][:, None]
         kpos = kpos_ref[0][None, :]
-        mask = (qseg == kseg) & (qpos >= kpos)
+        mask = (qseg == kseg) & (qpos >= kpos)    # [rows, bk] built ONCE
         if sparse_heads:
             band = (kpos < sink_size) | (qpos - kpos < local_size)
-            mask = mask & jnp.where(head_flags_ref[h] == 1, True, band)
-        qk = jnp.where(mask, qk, MASK_VALUE)
+            mask_stream = mask & band
 
-        m_prev = m_ref[...]                       # [bq, 128]
-        l_prev = l_ref[...]
-        m_curr = jnp.max(qk, axis=1, keepdims=True)  # [bq, 1]
-        m_next = jnp.maximum(m_prev[:, :1], m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next)
-        p = jnp.exp(qk - m_next)
-        p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+        for h in range(hkv):
+            if sparse_heads:
+                # scalar-pred jnp.where doesn't legalize in Mosaic;
+                # broadcast the head flag into the mask instead
+                mask_h = mask_stream | (mask & (head_flags_ref[h] == 1))
+            else:
+                mask_h = mask
+            rs = slice(h * rows, (h + 1) * rows)
+            q = q_ref[h].astype(jnp.bfloat16)         # [rows, D]
+            k = k_ref[h].astype(jnp.bfloat16)         # [bk, D]
+            qk = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                              # [rows, bk]
+            qk = jnp.where(mask_h, qk, MASK_VALUE)
 
-        v = v_ref[0].astype(jnp.float32)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[...] = acc_ref[...] * alpha + pv
+            m_prev = m_ref[rs, 0][:, None]
+            l_prev = l_ref[rs, 0][:, None]
+            m_curr = jnp.max(qk, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(qk - m_next)
+            p = jnp.where(mask_h, p, 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[rs, :] = jnp.broadcast_to(m_next, (rows, 128))
+            l_ref[rs, :] = jnp.broadcast_to(l_next, (rows, 128))
+
+            v = v_ref[h].astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[rs, :] = acc_ref[rs, :] * alpha + pv
 
     @pl.when(j == n_kv_blocks - 1)
     def _finalize():
-        l = jnp.maximum(l_ref[:, :1], 1e-10)
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        for h in range(hkv):
+            rs = slice(h * rows, (h + 1) * rows)
+            l = jnp.maximum(l_ref[rs, 0][:, None], 1e-10)
+            o_ref[h] = (acc_ref[rs, :] / l).astype(o_ref.dtype)
 
 
 def flash_prefill(
@@ -132,7 +135,7 @@ def flash_prefill(
     sink_size: int,
     local_size: int,
     sparse_heads: bool,
-    block_q: int = 256,
+    block_q: int = 128,
     block_k: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -143,13 +146,24 @@ def flash_prefill(
     block_k = min(block_k, t)
     assert t % block_q == 0 and t % block_k == 0
 
-    qt = q.transpose(1, 0, 2)   # [Hq, T, D]
-    kt = k.transpose(1, 0, 2)   # [Hkv, T, D]
-    vt = v.transpose(1, 0, 2)
+    # pre-merge the GQA group rows: q [Hkv, T*n_rep, D]; kv head-major
+    qh = q.reshape(t, hkv, n_rep, d).transpose(1, 0, 2, 3).reshape(
+        hkv, t * n_rep, d
+    )
+    kh = k.transpose(1, 0, 2)
+    vh = v.transpose(1, 0, 2)
+
     seg2 = segment_ids.astype(jnp.int32)[None, :]   # [1, T]
     pos2 = positions.astype(jnp.int32)[None, :]
+    # row-level (element-repeated) segment/position for the q axis
+    qseg_rows = jnp.repeat(segment_ids.astype(jnp.int32), n_rep)[None, :]
+    qpos_rows = jnp.repeat(positions.astype(jnp.int32), n_rep)[None, :]
 
-    grid = (hq, t // block_q, t // block_k)
+    grid = (t // block_q, t // block_k)
+    rows = block_q * n_rep
+
+    # per-KV-head flags (q-head flags repeat within a GQA group)
+    flags_kv = head_flags.reshape(hkv, n_rep)[:, 0]
 
     kernel = functools.partial(
         _flash_kernel,
@@ -160,9 +174,10 @@ def flash_prefill(
         local_size=local_size,
         sparse_heads=sparse_heads,
         n_kv_blocks=t // block_k,
+        n_rep=n_rep,
     )
-    # min within-segment position per kv block (for the sink-block skip);
-    # padding rows (seg -1) get a huge position so they never force a load.
+    # min within-segment position per kv block (kept for parity with the
+    # sparse coarse skip; padding rows get a huge position).
     pos_eff = jnp.where(segment_ids >= 0, positions, jnp.int32(2**30))
     kblk_minpos = jnp.min(
         pos_eff.reshape(t // block_k, block_k), axis=1
@@ -172,38 +187,37 @@ def flash_prefill(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda h, i, j, f, mp: (h, i, 0)),
-            pl.BlockSpec(
-                (1, block_k, d), lambda h, i, j, f, mp: (h // n_rep, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, block_k, d), lambda h, i, j, f, mp: (h // n_rep, j, 0)
-            ),
-            pl.BlockSpec((1, block_q), lambda h, i, j, f, mp: (0, i)),
-            pl.BlockSpec((1, block_k), lambda h, i, j, f, mp: (0, j)),
-            pl.BlockSpec((1, block_q), lambda h, i, j, f, mp: (0, i)),
-            pl.BlockSpec((1, block_k), lambda h, i, j, f, mp: (0, j)),
+            pl.BlockSpec((hkv, rows, d), lambda i, j, f, mp: (0, i, 0)),
+            pl.BlockSpec((hkv, block_k, d), lambda i, j, f, mp: (0, j, 0)),
+            pl.BlockSpec((hkv, block_k, d), lambda i, j, f, mp: (0, j, 0)),
+            pl.BlockSpec((1, rows), lambda i, j, f, mp: (0, i)),
+            pl.BlockSpec((1, block_k), lambda i, j, f, mp: (0, j)),
+            pl.BlockSpec((1, rows), lambda i, j, f, mp: (0, i)),
+            pl.BlockSpec((1, block_k), lambda i, j, f, mp: (0, j)),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda h, i, j, f, mp: (h, i, 0)
+            (hkv, rows, d), lambda i, j, f, mp: (0, i, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((hkv * rows, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hq, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((hkv, t * n_rep, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(head_flags.astype(jnp.int32), kblk_minpos, qt, kt, vt, seg2, seg2,
-      pos2, pos2)
-    return out.transpose(1, 0, 2)
+    )(flags_kv.astype(jnp.int32), kblk_minpos, qh, kh, vh, qseg_rows,
+      seg2, qpos_rows, pos2)
+    # [Hkv, T*n_rep, D] -> [T, Hq, D]
+    return out.reshape(hkv, t, n_rep, d).transpose(1, 0, 2, 3).reshape(
+        t, hq, d
+    )
 
 
 def prefill_attention(

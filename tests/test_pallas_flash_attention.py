@@ -35,7 +35,7 @@ class TestFlashPrefill:
         seg = np.zeros(t, np.int32)
         pos = np.arange(t, dtype=np.int32)
         ref, out = run_both(q, k, v, seg, pos)
-        np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
     def test_packed_sequences_with_padding(self):
         t = 64
@@ -50,7 +50,7 @@ class TestFlashPrefill:
         pos[20:50] = np.arange(30)
         ref, out = run_both(q, k, v, seg, pos)
         # compare only real rows (reference zeroes padding differently)
-        np.testing.assert_allclose(out[:50], ref[:50], atol=3e-3, rtol=3e-3)
+        np.testing.assert_allclose(out[:50], ref[:50], atol=2e-2, rtol=2e-2)
 
     def test_streaming_heads_band(self):
         t = 128
@@ -65,7 +65,7 @@ class TestFlashPrefill:
             q, k, v, seg, pos,
             head_is_retrieval=flags, sink_size=sink, local_size=local,
         )
-        np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
     def test_streaming_band_multi_segment(self):
         # second sequence's sink tokens live at large global indices — the
@@ -84,7 +84,7 @@ class TestFlashPrefill:
             q, k, v, seg, pos,
             head_is_retrieval=flags, sink_size=sink, local_size=local,
         )
-        np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
 
     def test_gqa(self):
         t, hq, hkv = 32, 8, 2
@@ -94,4 +94,4 @@ class TestFlashPrefill:
         seg = np.zeros(t, np.int32)
         pos = np.arange(t, dtype=np.int32)
         ref, out = run_both(q, k, v, seg, pos)
-        np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
