@@ -138,7 +138,15 @@ class LLMEngine:
             sampling_params.max_tokens = profiling_config.generate_len
             sampling_params.ignore_eos = True
         elif prompt_token_ids is None:
-            assert prompt is not None and self.tokenizer is not None
+            if prompt is None:
+                raise ValueError(
+                    "add_request needs prompt or prompt_token_ids"
+                )
+            if self.tokenizer is None:
+                raise RuntimeError(
+                    "text prompts need a tokenizer, but none could be "
+                    "loaded for this model; pass prompt_token_ids instead"
+                )
             prompt_token_ids = self.tokenizer.encode(prompt)
 
         if self.decoding_sim_length > 0:
