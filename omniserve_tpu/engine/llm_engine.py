@@ -309,6 +309,11 @@ class LLMEngine:
                     seq.output_text += new_text
                 if check_stop:
                     self._check_stop(seq, sp)
+                elif seq.get_output_len() >= sp.max_tokens:
+                    # benchmarking mode skips text stop checks but must
+                    # still finish at max_tokens (fixed-length generation,
+                    # reference llm_engine.py:484-592)
+                    seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
                 if seq.is_finished():
                     self.scheduler.free_seq(seq)
                     self.worker.free_seq(seq.seq_id)
