@@ -204,6 +204,23 @@ class LLMEngine:
         ``ifb_config.decode_multi_step > 1`` decode advances several tokens
         per worker call inside one jitted scan; subsequent step() calls
         drain the buffered per-token outputs."""
+        if self._static_metadata is not None:
+            # drop finished groups; when the whole static batch is done,
+            # reset so the next step schedules the next batch of requests
+            live = [
+                (m, g) for m, g in zip(self._static_metadata,
+                                       self._static_outputs
+                                       .scheduled_seq_groups)
+                if not g.is_finished()
+            ]
+            if not live:
+                self._static_metadata = None
+                self._static_outputs = None
+            elif len(live) != len(self._static_metadata):
+                self._static_metadata = [m for m, _ in live]
+                self._static_outputs.scheduled_seq_groups = [
+                    g for _, g in live
+                ]
         if self._static_metadata is None:
             self._multi_step_buffer.clear()   # new static batch
         if self._multi_step_buffer:
