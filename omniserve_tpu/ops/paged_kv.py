@@ -10,10 +10,16 @@ axis), mirroring the reference's per-layer pools sharing one block table.
 
 Pool layout (per pool — retrieval or streaming):
 
-- kv4 (packed):  data  [L, P, H, page/2, D] uint8 — token t of a page lives
-  in row t % (page/2); low nibble holds tokens [0, page/2), high nibble
-  [page/2, page) (same half-split trick as the weight packing: unpack gives
-  two contiguous token blocks, no lane interleave).
+- kv4 (packed):  data  [L, P, H, page/2, D] uint8 in the INTERLEAVED
+  layout: token t maps to (byte_row, nibble) via ``kv4_slot_to_row_nibble``
+  — with Bk = page/4 token blocks: i = t // Bk, j = t % Bk, byte_row =
+  2*j + (i % 2), high-nibble iff i >= 2. This ordering is chosen so the
+  decode kernel's packed-domain unpack (bitcast u8->i32, nibble masks,
+  exponent-magic ``| 0x4300`` bitcast to bf16 — little-endian sublane
+  packing, verified on hardware) yields four row-blocks whose rows are
+  EXACTLY tokens [i*Bk, (i+1)*Bk) in order, with zero per-element type
+  conversions. ``kv4_unpack_order(page)`` gives the token permutation the
+  simpler cat([lo, hi]) unpack produces.
 - kv8:           data  [L, P, H, page, D] uint8 (biased +128 for per-tensor)
 - kv16:          data  [L, P, H, page, D] bfloat16 (no scales)
 - fine-grained scales/zeros: [L, P, H, page] float32 each
@@ -30,6 +36,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from omniserve_tpu.ops.quantization import (
     kv_quantize_fine_grained,
@@ -189,10 +196,37 @@ def _quantize_kv(
     return q, None, None
 
 
+def kv4_slot_to_row_nibble(slot, page_size: int):
+    """Token slot within a page -> (byte_row, is_high_nibble) for kv4.
+
+    Interleaved layout (see module docstring): with Bk = page/4,
+    i = slot // Bk, j = slot % Bk -> row 2*j + (i % 2), nibble i // 2.
+    Works on python ints, numpy, and traced jax values.
+    """
+    bk = page_size // 4
+    i = slot // bk
+    j = slot % bk
+    return 2 * j + (i % 2), i // 2
+
+
+def kv4_unpack_order(page_size: int):
+    """Token index held at unpacked lane q of a cat([lo, hi]) kv4 unpack.
+
+    A plain unpack (lo = b & 0xF rows, then hi = b >> 4 rows) produces
+    page lanes q = half * (page/2) + byte_row; lane q holds token
+    ``order[q]``. Kernels that unpack this way use this permutation for
+    their masks/scales instead of assuming sequential token order.
+    """
+    bk = page_size // 4
+    q = np.arange(page_size)
+    half = q // (page_size // 2)
+    r = q % (page_size // 2)
+    return (2 * half + (r % 2)) * bk + r // 2
+
+
 def _pack_slot(slot: jnp.ndarray, page_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Token slot within a page -> (packed row, is_high_nibble) for kv4."""
-    half = page_size // 2
-    return slot % half, slot // half
+    return kv4_slot_to_row_nibble(slot, page_size)
 
 
 def _flat_rows_idx(page_ids, slots, num_heads, rows_per_page):
@@ -478,7 +512,11 @@ def _gather_one(
     else:
         lo = (pages & 0xF).astype(jnp.float32)
         hi = (pages >> 4).astype(jnp.float32)
-        vals = jnp.concatenate([lo, hi], axis=2)  # [B', H, page, D]
+        cat = jnp.concatenate([lo, hi], axis=2)   # [B', H, page, D] lane q
+        # lane q holds token kv4_unpack_order(q); invert to token order
+        order = kv4_unpack_order(page_size)
+        inv = np.argsort(order)
+        vals = jnp.take(cat, jnp.asarray(inv), axis=2)
     if kv_bits == 16:
         out = vals
     elif kv_zeros:

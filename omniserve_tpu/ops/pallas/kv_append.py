@@ -16,8 +16,9 @@ could reorder the read of step t+1 before the write of step t. Prefill
 uses the jnp scatter path (amortized over the whole prompt).
 
 Layout contracts (ops/paged_kv.py):
-- kv4 data [L, P, H, page/2, D] u8, token t at row t%(page/2), low nibble
-  for t < page/2; kv8 [L, P, H, page, D] u8; kv16 bf16.
+- kv4 data [L, P, H, page/2, D] u8 in the interleaved layout
+  (ops/paged_kv.kv4_slot_to_row_nibble); kv8 [L, P, H, page, D] u8;
+  kv16 bf16.
 - kv_scales [L, P, H, 4*page] f32, planes (k_scale, k_zero, v_scale,
   v_zero) at lane plane*page + slot.
 - k_stats [L, P, H, 2*n_sub, D] f32, row 2i = min of sub-chunk i, 2i+1 max.
@@ -99,9 +100,11 @@ def _append_kernel(
         # target row is selected inside the window with an iota mask).
         dst[...] = src_block[...]
         if kv_bits == 4:
-            half = page_size // 2
-            row = slot % half
-            is_hi = slot >= half
+            # interleaved kv4 layout (ops/paged_kv.kv4_slot_to_row_nibble)
+            bk = page_size // 4
+            i_blk = slot // bk
+            row = 2 * (slot % bk) + (i_blk % 2)
+            is_hi = i_blk >= 2
         else:
             row = slot
             is_hi = False

@@ -106,6 +106,14 @@ def _mqa_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
     page_of = lane // page_size
     within = lane % page_size
+    if kv_bits == 4:
+        # cat([lo, hi]) lane q holds token kv4_unpack_order(q) under the
+        # interleaved layout (ops/paged_kv.py); remap positions for masks
+        rr = page_size // 2
+        bk = page_size // 4
+        half = within // rr
+        r = within % rr
+        within = (2 * half + (r % 2)) * bk + r // 2
 
     def chunk_mask(h):
         if per_head_sel:
@@ -276,14 +284,28 @@ def paged_mqa_attention(
         """
         if s is None:
             return None
+
+        def perm_tokens(x):
+            # kv4: kernel lane q of a page holds token kv4_unpack_order(q);
+            # permute the per-page token axis (last) to match
+            if kv_bits != 4:
+                return x
+            from omniserve_tpu.ops.paged_kv import kv4_unpack_order
+
+            return jnp.take(
+                x, jnp.asarray(kv4_unpack_order(x.shape[-1])), axis=-1
+            )
+
         if per_head_sel:
             bb, hh, tt, pg4 = s.shape              # [B, H, T, 4*page]
             pg = pg4 // 4
-            s = s.reshape(bb, hh, tt, 4, pg).transpose(0, 1, 3, 2, 4)
+            s = perm_tokens(s.reshape(bb, hh, tt, 4, pg))
+            s = s.transpose(0, 1, 3, 2, 4)
             return s.reshape(bb, hh, 4, tt * pg)
         bb, tt, hh, pg4 = s.shape                  # [B, T, H, 4*page]
         pg = pg4 // 4
-        s = s.reshape(bb, tt, hh, 4, pg).transpose(0, 2, 3, 1, 4)
+        s = perm_tokens(s.reshape(bb, tt, hh, 4, pg))
+        s = s.transpose(0, 2, 3, 1, 4)
         return s.reshape(bb, hh, 4, tt * pg)
 
     k_s = flatten_scale(k_s)

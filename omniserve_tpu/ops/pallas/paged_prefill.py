@@ -86,6 +86,13 @@ def _prefill_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
     page_of = lane // page_size
     within = lane % page_size
+    if kv_bits == 4:
+        # interleaved kv4: unpack lane q holds token kv4_unpack_order(q)
+        rr = page_size // 2
+        bk = page_size // 4
+        half = within // rr
+        r = within % rr
+        within = (2 * half + (r % 2)) * bk + r // 2
     logic_lane = jnp.full_like(lane, -1)
     for i in range(g):
         logic_lane = jnp.where(page_of == i, logic_vals[i], logic_lane)
@@ -268,7 +275,12 @@ def paged_prefill_attention(
             return None
         bb, tt, hh, pg4 = s.shape
         pg = pg4 // 4
-        s = s.reshape(bb, tt, hh, 4, pg).transpose(0, 2, 3, 1, 4)
+        s = s.reshape(bb, tt, hh, 4, pg)
+        if kv_bits == 4:
+            from omniserve_tpu.ops.paged_kv import kv4_unpack_order
+
+            s = jnp.take(s, jnp.asarray(kv4_unpack_order(pg)), axis=-1)
+        s = s.transpose(0, 2, 3, 1, 4)
         return s.reshape(bb, hh, 4, n_chunks, g * pg)
 
     ksc = flatten_scale(ksc)

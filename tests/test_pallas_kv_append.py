@@ -84,6 +84,10 @@ def test_rmw_preserves_other_slots():
     pool = append_kv_decode(pool, 0, k2, k2, jnp.asarray([1]),
                             jnp.asarray([9]), PAGE, 4, True, interpret=True)
     after = np.asarray(pool.k_data)
-    # slot 3 -> packed row 3 low nibble unchanged
-    np.testing.assert_array_equal(before[0, 1, :, 3, :] & 0x0F,
-                                  after[0, 1, :, 3, :] & 0x0F)
+    # slot 3's (row, nibble) under the interleaved layout must be unchanged
+    from omniserve_tpu.ops.paged_kv import kv4_slot_to_row_nibble
+
+    row3, hi3 = kv4_slot_to_row_nibble(3, PAGE)
+    mask = 0xF0 if hi3 else 0x0F
+    np.testing.assert_array_equal(before[0, 1, :, row3, :] & mask,
+                                  after[0, 1, :, row3, :] & mask)
