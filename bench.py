@@ -36,7 +36,7 @@ def main() -> None:
     if small:
         spec = LlamaSpec(
             num_layers=4, hidden=512, intermediate=1024, num_q_heads=8,
-            num_kv_heads=2, head_dim=64, vocab=32000, weight_bits=4,
+            num_kv_heads=2, head_dim=128, vocab=32000, weight_bits=4,
             act_bits=8, kv_bits=4, kv_zeros=True, page_size=128,
         )
     else:

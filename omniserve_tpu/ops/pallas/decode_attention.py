@@ -1,0 +1,373 @@
+"""Single-pass Pallas TPU paged decode attention (kv4).
+
+Replaces the two-stage (XLA page gather -> flash kernel) design of
+``paged_attention.py`` for the hot QServe decode path. The KV pools stay
+in HBM (``memory_space=ANY``); the kernel drives its own double-buffered
+page DMAs from scalar-prefetched page tables, so the selected KV bytes are
+read from HBM exactly ONCE (the reference MMHA's single-pass structure,
+kernels/csrc/fused_attention/.../decoderMaskedMultiheadAttentionTemplate.hpp,
+reached here with Pallas ``make_async_copy`` instead of cp.async).
+
+Unpack is done in the PACKED int32 domain with zero per-element type
+conversions (the round-1 profile showed the astype chain dominating the
+kernel): bytes are bitcast u8->i32 (little-endian sublane packing,
+verified on hardware), each of the four nibble streams is extracted with
+one shift+mask, OR'd with the bf16 exponent magic 0x4300 and bitcast to
+bf16, giving 128 + nibble EXACTLY in bf16. The +128 bias and the
+quantization zero-point are folded into one rank-1 correction:
+
+    k_fp = (A - (z + 128)) * s,  A = 128 + k_nib
+    q.k  = s * (q.A) - s*(z+128) * sum(q)
+
+The interleaved kv4 page layout (ops/paged_kv.kv4_slot_to_row_nibble) is
+chosen so the four nibble streams are exactly token blocks [i*Bk,(i+1)*Bk)
+in order, Bk = page/4. With G = 128/Bk pages per chunk every block is a
+128-lane row group and all lane slices are tile-aligned.
+
+Scale/zero planes are NOT read from HBM by the kernel: they are ~6% of the
+KV bytes, and their in-page layout cannot be sliced at tile alignment in
+Mosaic; the wrapper pre-gathers them with one XLA gather and folds the
+zero-point math into two planes per K/V (see ``_gather_scale_planes``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from omniserve_tpu.ops.paged_kv import KVPool
+
+MASK_VALUE = -1e37
+_MAGIC = 0x43004300          # bf16 0x4300 = 128.0; |nibble -> 128 + v
+_NIBBLE_SHIFTS = (0, 8, 4, 12)  # token blocks 0..3 (see module docstring)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def supports(kv_bits: int, page_size: int, head_dim: int) -> bool:
+    """Whether the single-pass kernel can serve this config."""
+    bk = page_size // 4
+    return (
+        kv_bits == 4
+        and page_size % 8 == 0
+        and bk > 0
+        and 128 % bk == 0
+        # per-page DMA slices the pool's last dim: must be lane-tile aligned
+        and head_dim % 128 == 0
+    )
+
+
+def _sp_kernel(
+    # scalar prefetch
+    sel_phys_ref,   # [B, Tp] i32: layer-folded physical page index
+    sel_logic_ref,  # [B, Tp] i32 logical page (-1 = pad)
+    lengths_ref,    # [B] i32
+    pt_ref,         # [2] f32 per-tensor scales (dummy when fine-grained)
+    # blocks
+    q_ref,          # [1, H, n_rep, D]
+    sc_ref,         # [1, H, 4, 512] folded scale planes for chunk j
+    # full-array HBM refs
+    k_hbm,          # [L*P, H, R, D] u8
+    v_hbm,
+    # out
+    o_ref,          # [1, H, n_rep, D]
+    # scratch
+    k_buf,          # [2, H, G*R, D] u8
+    v_buf,
+    sem,            # DMA sems [2, G, 2]
+    m_ref, l_ref, acc_ref,
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_zeros: bool,
+    n_chunks: int,
+    g: int,
+    n_heads: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    rows = page_size // 2          # byte rows per page
+    bk = page_size // 4            # tokens per nibble block
+    step = b * n_chunks + j
+    slot = jax.lax.rem(step, 2)
+
+    # ---------------- DMA pipeline ----------------
+    def copies(bb, cc, sl, i):
+        idx = sel_phys_ref[bb, cc * g + i]
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[idx],
+                k_buf.at[sl, :, pl.ds(i * rows, rows), :],
+                sem.at[sl, i, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[idx],
+                v_buf.at[sl, :, pl.ds(i * rows, rows), :],
+                sem.at[sl, i, 1],
+            ),
+        )
+
+    def issue(bb, cc, sl):
+        bbc = jnp.minimum(bb, nb - 1)
+        for i in range(g):
+            @pl.when((bb < nb) & (sel_logic_ref[bbc, cc * g + i] >= 0))
+            def _():
+                ck, cv = copies(bbc, cc, sl, i)
+                ck.start()
+                cv.start()
+
+    @pl.when(step == 0)
+    def _cold_start():
+        issue(b, j, slot)
+
+    # prefetch the next chunk (wrapping to the next sequence) while this
+    # chunk computes; slot bookkeeping is global-step parity
+    nxt_b = jnp.where(j == n_chunks - 1, b + 1, b)
+    nxt_j = jnp.where(j == n_chunks - 1, 0, j + 1)
+    issue(nxt_b, nxt_j, 1 - slot)
+
+    for i in range(g):
+        @pl.when(sel_logic_ref[b, j * g + i] >= 0)
+        def _():
+            ck, cv = copies(b, j, slot, i)
+            ck.wait()
+            cv.wait()
+
+    # ---------------- flash accumulation ----------------
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = lengths_ref[b]
+
+    # chunk lane map: lane = blk*128 + p*bk + t  (4 blocks x 128 lanes)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
+    blk = lane // 128
+    pos = lane % 128
+    p_of = pos // bk
+    tok = blk * bk + (pos % bk)
+    logic = jnp.full_like(lane, -1)
+    for p in range(g):
+        logic = jnp.where(p_of == p, sel_logic_ref[b, j * g + p], logic)
+    valid = (logic >= 0) & (logic * page_size + tok < length)
+
+    # shared page lists fill in order: chunk live iff its first page is
+    any_valid = sel_logic_ref[b, j * g] >= 0
+
+    @pl.when(any_valid)
+    def _compute():
+        n_rep = q_ref.shape[2]
+        for h in range(n_heads):
+            rs = slice(h * n_rep, (h + 1) * n_rep)
+            q_bf = q_ref[0, h].astype(jnp.bfloat16)
+            # the rank-1 corrections must see EXACTLY the values the MXU
+            # dots see — with the +128 magic bias any f32-vs-bf16 operand
+            # mismatch is amplified ~128x by cancellation
+            q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=1, keepdims=True)
+
+            def nib_blocks(buf):
+                w32 = pltpu.bitcast(buf[slot, h], jnp.int32)  # [G*R/4, D]
+                out = []
+                for sh in _NIBBLE_SHIFTS:
+                    w = w32 if sh == 0 else (w32 >> sh)
+                    out.append(pltpu.bitcast(
+                        (w & 0x000F000F) | _MAGIC, jnp.bfloat16
+                    ))                                         # [128, D]
+                return out
+
+            qk_int = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        q_bf, a,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for a in nib_blocks(k_buf)
+                ],
+                axis=1,
+            )                                                  # [n_rep, 512]
+            if kv_zeros:
+                s0 = sc_ref[0, h, 0][None, :]
+                s1 = sc_ref[0, h, 1][None, :]      # = s*(z+128)
+                qk = (qk_int * s0 - s1 * q_sum) * sm_scale
+            else:
+                # per-tensor kv4: stored = clip+8, magic adds 128 -> -136
+                qk = (qk_int - 136.0 * q_sum) * (pt_ref[0] * sm_scale)
+            qk = jnp.where(valid, qk, MASK_VALUE)
+
+            m_prev = m_ref[rs, 0][:, None]
+            l_prev = l_ref[rs, 0][:, None]
+            m_curr = jnp.max(qk, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            pexp = jnp.exp(qk - m_next)
+            pexp = jnp.where(valid, pexp, 0.0)
+            l_next = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+            m_ref[rs, :] = jnp.broadcast_to(m_next, (n_rep, 128))
+            l_ref[rs, :] = jnp.broadcast_to(l_next, (n_rep, 128))
+
+            if kv_zeros:
+                p_bf = (pexp * sc_ref[0, h, 2][None, :]).astype(jnp.bfloat16)
+                # corr from the SAME bf16-rounded weights the PV dots use
+                corr = jnp.sum(
+                    p_bf.astype(jnp.float32) * sc_ref[0, h, 3][None, :],
+                    axis=1, keepdims=True,
+                )
+                v_scale = 1.0
+            else:
+                p_bf = pexp.astype(jnp.bfloat16)
+                corr = 136.0 * jnp.sum(
+                    p_bf.astype(jnp.float32), axis=1, keepdims=True
+                )
+                v_scale = pt_ref[1]
+            vb = nib_blocks(v_buf)
+            pv = None
+            for i in range(4):
+                part = jax.lax.dot_general(
+                    p_bf[:, i * 128:(i + 1) * 128],
+                    vb[i],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                pv = part if pv is None else pv + part
+            acc_ref[rs, :] = acc_ref[rs, :] * alpha + (pv - corr) * v_scale
+
+    @pl.when(j == n_chunks - 1)
+    def _finalize():
+        n_rep = o_ref.shape[2]
+        for h in range(n_heads):
+            rs = slice(h * n_rep, (h + 1) * n_rep)
+            l = jnp.maximum(l_ref[rs, 0][:, None], 1e-10)
+            o_ref[0, h] = (acc_ref[rs, :] / l).astype(o_ref.dtype)
+
+
+def _gather_scale_planes(pool: KVPool, layer, sel_phys, page_size, g,
+                         n_chunks):
+    """Pre-gather + fold the fine-grained quant params to kernel layout.
+
+    [L, P, H, 4*page] -> [B, H, 4, nc*512] f32 with planes
+    (ks, ks*(kz+128), vs, vs*(vz+128)) and chunk lanes ordered
+    blk*128 + p*bk + t (matching the kernel's nibble-stream order).
+    """
+    if pool.kv_scales is None:
+        return None
+    b, tp = sel_phys.shape
+    L, P, H, page4 = pool.kv_scales.shape
+    T = page4 // 4
+    bk = page_size // 4
+    flat_idx = layer * P + sel_phys                       # [B, Tp]
+    sc = pool.kv_scales.reshape(L * P, H, page4)[flat_idx]  # [B,Tp,H,4T]
+    s = sc[..., 0:T]
+    z = sc[..., T:2 * T]
+    vs = sc[..., 2 * T:3 * T]
+    vz = sc[..., 3 * T:4 * T]
+    # plane 3 is (vz + 128) WITHOUT the vs multiply: the kernel applies it
+    # to the bf16-rounded p*vs weights so the +128 magic bias cancels
+    # against exactly what the PV dot accumulated
+    planes = jnp.stack(
+        [s, s * (z + 128.0), vs, vz + 128.0], axis=3
+    )                                                     # [B,Tp,H,4,T]
+    planes = planes.reshape(b, n_chunks, g, H, 4, 4, bk)
+    planes = planes.transpose(0, 3, 4, 1, 5, 2, 6)        # [B,H,4,nc,4,G,bk]
+    return planes.reshape(b, H, 4, n_chunks * 512)
+
+
+def paged_mqa_attention_single_pass(
+    q: jnp.ndarray,            # [B, Hkv, n_rep, D]
+    pool: KVPool,
+    layer,
+    sel_phys: jnp.ndarray,     # [B, Tp] physical page ids (pad -> any)
+    sel_logic: jnp.ndarray,    # [B, Tp] logical page or -1
+    lengths: jnp.ndarray,      # [B]
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_zeros: bool,
+    pt_scales=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """kv4 decode attention reading pages straight from the pool in HBM."""
+    b, hkv, n_rep, d = q.shape
+    bk = page_size // 4
+    g = 128 // bk
+    tp = sel_logic.shape[-1]
+    n_chunks = _cdiv(tp, g)
+    pad = n_chunks * g - tp
+    if pad:
+        cfg = [(0, 0), (0, pad)]
+        sel_phys = jnp.pad(sel_phys, cfg)
+        sel_logic = jnp.pad(sel_logic, cfg, constant_values=-1)
+
+    L, P = pool.k_data.shape[0], pool.k_data.shape[1]
+    rows = pool.k_data.shape[3]
+    k_flat = pool.k_data.reshape(L * P, hkv, rows, d)
+    v_flat = pool.v_data.reshape(L * P, hkv, rows, d)
+    phys_folded = (layer * P + sel_phys).astype(jnp.int32)
+
+    sc = _gather_scale_planes(pool, layer, sel_phys, page_size, g, n_chunks)
+    fine = sc is not None
+    if not fine:
+        sc = jnp.zeros((1, hkv, 4, 512), jnp.float32)
+
+    if pt_scales is None:
+        pt_arr = jnp.zeros((2,), jnp.float32)
+    else:
+        pt_arr = jnp.stack([
+            jnp.asarray(pt_scales[0], jnp.float32),
+            jnp.asarray(pt_scales[1], jnp.float32),
+        ])
+
+    kernel = functools.partial(
+        _sp_kernel,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        kv_zeros=kv_zeros,
+        n_chunks=n_chunks,
+        g=g,
+        n_heads=hkv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hkv, n_rep, d),
+                         lambda b_, j_, *pref: (b_, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, hkv, 4, 512),
+                (lambda b_, j_, *pref: (b_, 0, 0, j_)) if fine
+                else (lambda b_, j_, *pref: (0, 0, 0, 0)),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, n_rep, d),
+                               lambda b_, j_, *pref: (b_, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # k pages
+            pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # v pages
+            pltpu.SemaphoreType.DMA((2, g, 2)),
+            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # m
+            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # l
+            pltpu.VMEM((hkv * n_rep, d), jnp.float32),      # acc
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(phys_folded, sel_logic.astype(jnp.int32),
+      lengths.astype(jnp.int32), pt_arr, q, sc, k_flat, v_flat)

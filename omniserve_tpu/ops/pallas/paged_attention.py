@@ -270,9 +270,12 @@ def paged_mqa_attention(
             cfg[ax] = (0, pad)
             return jnp.pad(x, cfg)
 
-        k_sel = padp(k_sel, 1)
-        v_sel = padp(v_sel, 1)
-        k_s = padp(k_s, 1)
+        # page axis is 1 in the dense [B, T, H, ...] layout but 2 in the
+        # per-head [B, H, T, ...] layout
+        page_ax = 2 if per_head_sel else 1
+        k_sel = padp(k_sel, page_ax)
+        v_sel = padp(v_sel, page_ax)
+        k_s = padp(k_s, page_ax)
 
     def flatten_scale(s):
         """[B, T, H, 4, page] -> [B, H, 4, nc, G*page] in kernel lane order.
@@ -502,6 +505,10 @@ def paged_decode_attention(
             return (p.k_scale_per_tensor[layer], p.v_scale_per_tensor[layer])
         return None
 
+    from omniserve_tpu.ops.pallas import decode_attention as sp
+
+    use_sp = sp.supports(kv_bits, page_size, d)
+
     # -- retrieval pool call (q heads routed by rank) --
     hr = pool.num_heads
     src_r = _pool_head_sources(head_rank, head_is_retrieval, hr, True)
@@ -520,17 +527,26 @@ def paged_decode_attention(
             tile[None, :] < n_pages[:, None], tile[None, :], -1
         )                                             # [B, max_blocks]
         sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
-    g_r = _choose_chunk(sel_logic.shape[-1])
-    sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g_r)
-    kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
-    out_r = paged_mqa_attention(
-        q_r, kd, vd, ksc, None, None, None,
-        sel_logic.astype(jnp.int32),
-        context_lens.astype(jnp.int32),
-        pages_per_chunk=g_r,
-        sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
-        kv_zeros=kv_zeros, pt_scales=pt_of(pool), interpret=interpret,
-    )                                                 # [B, Hr, n_rep, D]
+    if use_sp and page_idxes is None:
+        # single-pass kernel: pages read straight from the HBM pool
+        out_r = sp.paged_mqa_attention_single_pass(
+            q_r, pool, layer, sel_phys, sel_logic,
+            context_lens.astype(jnp.int32),
+            sm_scale=sm_scale, page_size=page_size, kv_zeros=kv_zeros,
+            pt_scales=pt_of(pool), interpret=interpret,
+        )
+    else:
+        g_r = _choose_chunk(sel_logic.shape[-1])
+        sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g_r)
+        kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
+        out_r = paged_mqa_attention(
+            q_r, kd, vd, ksc, None, None, None,
+            sel_logic.astype(jnp.int32),
+            context_lens.astype(jnp.int32),
+            pages_per_chunk=g_r,
+            sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
+            kv_zeros=kv_zeros, pt_scales=pt_of(pool), interpret=interpret,
+        )                                             # [B, Hr, n_rep, D]
     # scatter pool rows back to kv-head positions
     rank_c = jnp.clip(head_rank, 0, hr - 1)
     out_full_r = jnp.take_along_axis(
@@ -554,18 +570,28 @@ def paged_decode_attention(
         tile[None, :] < n_slot_pages[:, None], tile[None, :], -1
     )                                                 # [B, n_slots]
     sel_phys_s = jnp.where(sel_logic_s >= 0, streaming_block_tables, 0)
-    g_s = _choose_chunk(sel_logic_s.shape[-1])
-    sel_phys_s, sel_logic_s = _pad_sel(sel_phys_s, sel_logic_s, quantum=g_s)
-    kd, vd, ksc = _gather_pool(streaming_pool, layer, sel_phys_s)
-    out_s = paged_mqa_attention(
-        q_s, kd, vd, ksc, None, None, None,
-        sel_logic_s.astype(jnp.int32),
-        eff_len.astype(jnp.int32),
-        pages_per_chunk=g_s,
-        sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
-        kv_zeros=kv_zeros, pt_scales=pt_of(streaming_pool),
-        interpret=interpret,
-    )
+    if use_sp:
+        out_s = sp.paged_mqa_attention_single_pass(
+            q_s, streaming_pool, layer, sel_phys_s, sel_logic_s,
+            eff_len.astype(jnp.int32),
+            sm_scale=sm_scale, page_size=page_size, kv_zeros=kv_zeros,
+            pt_scales=pt_of(streaming_pool), interpret=interpret,
+        )
+    else:
+        g_s = _choose_chunk(sel_logic_s.shape[-1])
+        sel_phys_s, sel_logic_s = _pad_sel(
+            sel_phys_s, sel_logic_s, quantum=g_s
+        )
+        kd, vd, ksc = _gather_pool(streaming_pool, layer, sel_phys_s)
+        out_s = paged_mqa_attention(
+            q_s, kd, vd, ksc, None, None, None,
+            sel_logic_s.astype(jnp.int32),
+            eff_len.astype(jnp.int32),
+            pages_per_chunk=g_s,
+            sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
+            kv_zeros=kv_zeros, pt_scales=pt_of(streaming_pool),
+            interpret=interpret,
+        )
     rank_s = jnp.clip(head_rank, 0, hs - 1)
     out_full_s = jnp.take_along_axis(
         out_s, rank_s[None, :, None, None].repeat(b, 0).repeat(n_rep, 2),

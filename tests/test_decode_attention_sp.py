@@ -1,0 +1,83 @@
+"""Single-pass (HBM-direct) kv4 decode attention vs the jnp reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omniserve_tpu.ops import attention_ref
+from omniserve_tpu.ops.paged_kv import append_kv, make_kv_pool
+from omniserve_tpu.ops.pallas import decode_attention as sp
+
+rng = np.random.default_rng(7)
+
+
+def build_pool(page, n_pages, h, d, lengths, tables, kv_zeros, layers=2):
+    pool = make_kv_pool(layers, n_pages, h, page, d, kv_bits=4,
+                        kv_zeros=kv_zeros)
+    ks, vs = [], []
+    for lay in range(layers):
+        k_all, v_all = [], []
+        for s, ln in enumerate(lengths):
+            k = rng.normal(size=(ln, h, d)).astype(np.float32)
+            v = rng.normal(size=(ln, h, d)).astype(np.float32)
+            pos = np.arange(ln)
+            pages = tables[s][pos // page]
+            pool = append_kv(
+                pool, lay, jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(pages), jnp.asarray(pos % page),
+                page_size=page, kv_bits=4, kv_zeros=kv_zeros,
+            )
+            k_all.append(k)
+            v_all.append(v)
+        ks.append(k_all)
+        vs.append(v_all)
+    return pool, ks, vs
+
+
+@pytest.mark.parametrize("page", [64, 128])
+@pytest.mark.parametrize("kv_zeros", [True, False])
+def test_single_pass_matches_reference(page, kv_zeros):
+    h, d, n_rep = 2, 128, 4
+    lengths = [page * 3 + 7, page, 1]
+    b = len(lengths)
+    max_blocks = 4
+    n_pages = b * max_blocks + 1
+    tables = np.arange(b * max_blocks, dtype=np.int32).reshape(b, max_blocks)
+    pool, _, _ = build_pool(page, n_pages, h, d, lengths, tables, kv_zeros)
+
+    q = rng.normal(size=(b, h * n_rep, d)).astype(np.float32)
+    layer = 1
+    sm = 1.0 / np.sqrt(d)
+
+    want = attention_ref.paged_decode_attention(
+        jnp.asarray(q), pool, layer, jnp.asarray(tables),
+        jnp.asarray(lengths, jnp.int32), sm, page, 4, kv_zeros,
+    )
+
+    n_pg = (np.asarray(lengths) + page - 1) // page
+    tile = np.arange(max_blocks)
+    sel_logic = np.where(tile[None, :] < n_pg[:, None], tile[None, :], -1)
+    sel_phys = np.where(sel_logic >= 0, tables, 0)
+    got = sp.paged_mqa_attention_single_pass(
+        jnp.asarray(q).reshape(b, h, n_rep, d), pool, layer,
+        jnp.asarray(sel_phys), jnp.asarray(sel_logic),
+        jnp.asarray(lengths, jnp.int32),
+        sm_scale=sm, page_size=page, kv_zeros=kv_zeros,
+        pt_scales=(
+            None if kv_zeros
+            else (pool.k_scale_per_tensor[layer],
+                  pool.v_scale_per_tensor[layer])
+        ),
+        interpret=True,
+    ).reshape(b, h * n_rep, d)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_supports_matrix():
+    assert sp.supports(4, 128, 128)
+    assert sp.supports(4, 64, 128)
+    assert not sp.supports(8, 128, 128)
+    assert not sp.supports(4, 48, 128)
