@@ -79,6 +79,9 @@ class DecAttnConfig:
         self.sub_chunk_per_block = sub_chunk_per_block
         self.sparse_kv_cache_budget = sparse_kv_cache_budget
         self.selector_update_interval = selector_update_interval
+        # Reference-surface parity only: the TPU decode kernels stream all
+        # context lengths through one chunked online softmax, so there is
+        # no multi-block (flash-decoding split-K) threshold to switch at.
         self.multiblock_switch = multiblock_switch
         self.page_size = page_size
         if page_size % sub_chunk_per_block != 0:

@@ -126,9 +126,21 @@ class BaseBlockManager:
         return self._blocks_needed(seq.num_logical_blocks())
 
     # -- prompt allocation ----------------------------------------------
+    def _group_prefix(self, seq_group: SequenceGroup):
+        """Shared prompt prefix, retrieval pool only (the streaming ring's
+        positional slot reuse is incompatible with cross-request pages)."""
+        if self.is_streaming:
+            return None
+        return getattr(seq_group, "prefix", None)
+
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         seq = seq_group.get_seqs(SequenceStatus.WAITING)[0]
         need = self.blocks_needed_for_seq(seq)
+        prefix = self._group_prefix(seq_group)
+        if prefix is not None and prefix.allocated:
+            # prefix pages already live in the pool (reference
+            # block_manager.py:126-127)
+            need -= prefix.get_num_blocks()
         free = self.device_allocator.get_num_free_blocks()
         if self.num_device_blocks - need < self.watermark_blocks:
             return AllocStatus.NEVER
@@ -139,7 +151,26 @@ class BaseBlockManager:
     def allocate(self, seq_group: SequenceGroup) -> None:
         seq = seq_group.get_seqs(SequenceStatus.WAITING)[0]
         need = self.blocks_needed_for_seq(seq)
-        table = [self.device_allocator.allocate() for _ in range(need)]
+        prefix = self._group_prefix(seq_group)
+        table: List[int] = []
+        if prefix is not None and prefix.allocated:
+            # reuse the shared prefix pages (reference :157-170)
+            for bid in prefix.get_block_numbers():
+                self.device_allocator.ref(bid)
+                table.append(bid)
+        while len(table) < need:
+            table.append(self.device_allocator.allocate())
+        if (
+            prefix is not None
+            and not prefix.allocated
+            and prefix.get_num_blocks() <= need
+        ):
+            # first request with this prefix: publish its pages and pin
+            # them with the pool's own reference (reference :181-188)
+            head = table[: prefix.get_num_blocks()]
+            prefix.set_block_table(head)
+            for bid in head:
+                self.device_allocator.ref(bid)
         # All candidate seqs of the group share the prompt pages.
         n_waiting = len(seq_group.get_seqs(SequenceStatus.WAITING))
         for bid in table:

@@ -23,6 +23,7 @@ from typing import Deque, Dict, Iterable, List, Optional, Tuple
 from omniserve_tpu.config import CacheConfig, IFBConfig, SchedulerConfig
 from omniserve_tpu.core.block_manager import AllocStatus, BlockSpaceManager
 from omniserve_tpu.core.policy import PolicyFactory
+from omniserve_tpu.core.prefix import PrefixPool
 from omniserve_tpu.sequence import (
     Sequence,
     SequenceGroup,
@@ -98,6 +99,10 @@ class Scheduler:
             streaming_local_blocks=streaming_local_blocks,
             enable_streaming=enable_streaming,
         )
+        # shared-prompt-prefix registry (reference scheduler.py:120-121);
+        # the engine attaches pool entries to groups via add_request's
+        # prefix_pos, the block manager shares/pins their pages
+        self.prefix_pool = PrefixPool(cache_config.page_size)
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: List[SequenceGroup] = []
         self.swapped: Deque[SequenceGroup] = deque()
@@ -295,6 +300,7 @@ class Scheduler:
                     sampling_params=seq_group.sampling_params,
                     block_tables=block_tables,
                     streaming_block_tables=streaming_tables,
+                    prefix=seq_group.prefix,
                 )
             )
         return metadata, outputs
@@ -325,8 +331,13 @@ class Scheduler:
         if preemption_mode is None:
             # Single-seq groups recompute (cheaper than swap roundtrip);
             # multi-seq groups swap so forks stay consistent
-            # (reference scheduler.py:470-480).
-            if seq_group.get_max_num_running_seqs() == 1:
+            # (reference scheduler.py:470-480). Prefix-sharing groups
+            # always recompute: swapping out pages other requests still
+            # reference would corrupt them.
+            if (
+                seq_group.get_max_num_running_seqs() == 1
+                or getattr(seq_group, "prefix", None) is not None
+            ):
                 preemption_mode = PreemptionMode.RECOMPUTE
             else:
                 preemption_mode = PreemptionMode.SWAP

@@ -8,6 +8,7 @@ pure-numpy implementations if no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import List, Optional, Tuple
@@ -17,9 +18,16 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "host_prep.cc")
 _SO = os.path.join(_DIR, "_host_prep.so")
+_HASH = _SO + ".src-sha256"   # content hash of the source the .so was
+                              # built from (mtimes don't survive git)
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build() -> bool:
@@ -29,9 +37,21 @@ def _build() -> bool:
              "-o", _SO],
             check=True, capture_output=True, timeout=120,
         )
+        with open(_HASH, "w") as f:
+            f.write(_src_digest())
         return True
     except Exception:
         return False
+
+
+def _stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() != _src_digest()
+    except OSError:
+        return True
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -39,9 +59,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or (
-        os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-    ):
+    if _stale():
         if not _build():
             return None
     try:
@@ -119,7 +137,7 @@ def build_decode_batch(
             token_ids[slot] = token
             positions[slot] = pos
             active8[slot] = 1
-            bt[slot, : len(tbl)] = tbl
+            bt[slot, : min(len(tbl), w)] = tbl[:w]
             st[slot, : min(len(stbl), sw)] = stbl[:sw]
             if pos % page_size == 0 and n_new < max_new_pages:
                 pg = pos // page_size

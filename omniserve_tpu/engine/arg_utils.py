@@ -125,7 +125,12 @@ class EngineArgs:
         parser.add_argument("--sparse-kv-cache-budget", type=int,
                             default=4096)
         parser.add_argument("--selector-update-interval", type=int, default=4)
-        parser.add_argument("--multiblock-switch", type=int, default=2048)
+        parser.add_argument(
+            "--multiblock-switch", type=int, default=2048,
+            help="accepted for reference-CLI parity; a NO-OP on TPU (the "
+            "chunked online-softmax decode kernel streams every length, "
+            "so there is no multi-block split threshold)",
+        )
         return parser
 
     @classmethod

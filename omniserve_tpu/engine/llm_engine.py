@@ -123,7 +123,11 @@ class LLMEngine:
         prompt_token_ids: Optional[List[int]] = None,
         arrival_time: Optional[float] = None,
         profiling_config: Optional[ProfilingConfig] = None,
+        prefix_pos: Optional[int] = None,
     ) -> None:
+        """``prefix_pos``: treat the first ``prefix_pos`` prompt tokens as
+        a shared prefix — requests with an identical prefix reuse its KV
+        pages (reference llm_engine.py:277-369; experimental there too)."""
         if sampling_params is None:
             sampling_params = SamplingParams()
         if arrival_time is None:
@@ -154,6 +158,14 @@ class LLMEngine:
                 -self.decoding_sim_length:
             ]
 
+        prefix = (
+            self.scheduler.prefix_pool.add_or_get_prefix(
+                prompt_token_ids[:prefix_pos]
+            )
+            if prefix_pos is not None
+            else None
+        )
+
         seqs = []
         for _ in range(sampling_params.best_of):
             seq = Sequence(
@@ -161,7 +173,9 @@ class LLMEngine:
                 page_size=self.cache_config.page_size,
             )
             seqs.append(seq)
-        group = SequenceGroup(request_id, seqs, sampling_params, arrival_time)
+        group = SequenceGroup(
+            request_id, seqs, sampling_params, arrival_time, prefix=prefix
+        )
         self.scheduler.add_seq_group(group)
 
     def abort_request(self, request_id: Union[str, List[str]]) -> None:
@@ -205,22 +219,27 @@ class LLMEngine:
         per worker call inside one jitted scan; subsequent step() calls
         drain the buffered per-token outputs."""
         if self._static_metadata is not None:
-            # drop finished groups; when the whole static batch is done,
-            # reset so the next step schedules the next batch of requests
-            live = [
-                (m, g) for m, g in zip(self._static_metadata,
-                                       self._static_outputs
-                                       .scheduled_seq_groups)
-                if not g.is_finished()
-            ]
-            if not live:
+            groups = self._static_outputs.scheduled_seq_groups
+            if all(g.is_finished() for g in groups):
+                # whole static batch done: reset so the next step schedules
+                # the next batch of requests
                 self._static_metadata = None
                 self._static_outputs = None
-            elif len(live) != len(self._static_metadata):
-                self._static_metadata = [m for m, _ in live]
-                self._static_outputs.scheduled_seq_groups = [
-                    g for _, g in live
+                self._multi_step_buffer.clear()
+            elif not self._multi_step_buffer:
+                # Drop finished groups ONLY between multi-step windows: the
+                # buffered SamplerOutputs are positional in the group list
+                # that produced them, so the list must stay frozen while a
+                # window drains (finished seqs are skipped when zipping).
+                live = [
+                    (m, g) for m, g in zip(self._static_metadata, groups)
+                    if not g.is_finished()
                 ]
+                if len(live) != len(self._static_metadata):
+                    self._static_metadata = [m for m, _ in live]
+                    self._static_outputs.scheduled_seq_groups = [
+                        g for _, g in live
+                    ]
         if self._static_metadata is None:
             self._multi_step_buffer.clear()   # new static batch
         if self._multi_step_buffer:
@@ -303,6 +322,9 @@ class LLMEngine:
         for group, group_out in zip(groups, samples):
             for sample in group_out.samples:
                 seq = group.find(sample.parent_seq_id)
+                if seq.is_finished():
+                    # buffered multi-step output past this seq's finish
+                    continue
                 token = sample.output_token
                 sp = group.sampling_params
                 if sp.decoding_sim_token_ids:

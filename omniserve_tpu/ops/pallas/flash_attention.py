@@ -36,6 +36,8 @@ def _flash_kernel(
     # scalar prefetch
     head_flags_ref,   # [Hkv] int32: 1 = retrieval (dense), 0 = streaming
     kblk_minpos_ref,  # [n_kv_blocks] int32 min position in each kv block
+    kblk_maxpos_ref,  # [n_kv_blocks] int32 max REAL position per kv block
+    qblk_minpos_ref,  # [n_q_blocks] int32 min position in each q block
     # blocks
     q_ref,            # [Hkv, bq*n_rep, D] (GQA rows pre-merged)
     k_ref,            # [Hkv, bk, D]
@@ -70,6 +72,17 @@ def _flash_kernel(
     # global-causal block-level skip: kv block strictly above the diagonal
     below_diag = j * block_k <= i * block_q + block_q - 1
 
+    # streaming-head coarse skip (the LServe block-sparse prefill win): a
+    # kv block contributes nothing to streaming heads when it lies fully
+    # past the sink AND fully below this q block's local band. Conservative
+    # across packed segments (cross-segment pairs are masked anyway).
+    if sparse_heads:
+        stream_dead = (kblk_minpos_ref[j] >= sink_size) & (
+            kblk_maxpos_ref[j] + local_size <= qblk_minpos_ref[i]
+        )
+    else:
+        stream_dead = False
+
     @pl.when(below_diag)
     def _compute():
         qseg = qseg_ref[0][:, None]               # [rows, 1]
@@ -88,33 +101,43 @@ def _flash_kernel(
                 mask_h = mask_stream | (mask & (head_flags_ref[h] == 1))
             else:
                 mask_h = mask
-            rs = slice(h * rows, (h + 1) * rows)
-            q = q_ref[h].astype(jnp.bfloat16)         # [rows, D]
-            k = k_ref[h].astype(jnp.bfloat16)         # [bk, D]
-            qk = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale                              # [rows, bk]
-            qk = jnp.where(mask_h, qk, MASK_VALUE)
 
-            m_prev = m_ref[rs, 0][:, None]
-            l_prev = l_ref[rs, 0][:, None]
-            m_curr = jnp.max(qk, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(qk - m_next)
-            p = jnp.where(mask_h, p, 0.0)
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_ref[rs, :] = jnp.broadcast_to(m_next, (rows, 128))
-            l_ref[rs, :] = jnp.broadcast_to(l_next, (rows, 128))
+            def head_body(mask_h=mask_h, h=h):
+                rs = slice(h * rows, (h + 1) * rows)
+                q = q_ref[h].astype(jnp.bfloat16)     # [rows, D]
+                k = k_ref[h].astype(jnp.bfloat16)     # [bk, D]
+                qk = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale                          # [rows, bk]
+                qk = jnp.where(mask_h, qk, MASK_VALUE)
 
-            v = v_ref[h].astype(jnp.bfloat16)
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_ref[rs, :] = acc_ref[rs, :] * alpha + pv
+                m_prev = m_ref[rs, 0][:, None]
+                l_prev = l_ref[rs, 0][:, None]
+                m_curr = jnp.max(qk, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(qk - m_next)
+                p = jnp.where(mask_h, p, 0.0)
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                m_ref[rs, :] = jnp.broadcast_to(m_next, (rows, 128))
+                l_ref[rs, :] = jnp.broadcast_to(l_next, (rows, 128))
+
+                v = v_ref[h].astype(jnp.bfloat16)
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_ref[rs, :] = acc_ref[rs, :] * alpha + pv
+
+            if sparse_heads:
+                # skip streaming heads on out-of-band blocks entirely
+                pl.when(
+                    (head_flags_ref[h] == 1) | jnp.logical_not(stream_dead)
+                )(head_body)
+            else:
+                head_body()
 
     @pl.when(j == n_kv_blocks - 1)
     def _finalize():
@@ -176,27 +199,34 @@ def flash_prefill(
         n_kv_blocks=t // block_k,
         n_rep=n_rep,
     )
-    # min within-segment position per kv block (kept for parity with the
-    # sparse coarse skip; padding rows get a huge position).
-    pos_eff = jnp.where(segment_ids >= 0, positions, jnp.int32(2**30))
+    # per-block position summaries for the streaming coarse skip; padding
+    # rows get +inf-ish for mins and -1 for maxes (conservative both ways)
+    pos_min = jnp.where(segment_ids >= 0, positions, jnp.int32(2**30))
+    pos_max = jnp.where(segment_ids >= 0, positions, jnp.int32(-1))
     kblk_minpos = jnp.min(
-        pos_eff.reshape(t // block_k, block_k), axis=1
+        pos_min.reshape(t // block_k, block_k), axis=1
+    ).astype(jnp.int32)
+    kblk_maxpos = jnp.max(
+        pos_max.reshape(t // block_k, block_k), axis=1
+    ).astype(jnp.int32)
+    qblk_minpos = jnp.min(
+        pos_min.reshape(t // block_q, block_q), axis=1
     ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((hkv, rows, d), lambda i, j, f, mp: (0, i, 0)),
-            pl.BlockSpec((hkv, block_k, d), lambda i, j, f, mp: (0, j, 0)),
-            pl.BlockSpec((hkv, block_k, d), lambda i, j, f, mp: (0, j, 0)),
-            pl.BlockSpec((1, rows), lambda i, j, f, mp: (0, i)),
-            pl.BlockSpec((1, block_k), lambda i, j, f, mp: (0, j)),
-            pl.BlockSpec((1, rows), lambda i, j, f, mp: (0, i)),
-            pl.BlockSpec((1, block_k), lambda i, j, f, mp: (0, j)),
+            pl.BlockSpec((hkv, rows, d), lambda i, j, *p: (0, i, 0)),
+            pl.BlockSpec((hkv, block_k, d), lambda i, j, *p: (0, j, 0)),
+            pl.BlockSpec((hkv, block_k, d), lambda i, j, *p: (0, j, 0)),
+            pl.BlockSpec((1, rows), lambda i, j, *p: (0, i)),
+            pl.BlockSpec((1, block_k), lambda i, j, *p: (0, j)),
+            pl.BlockSpec((1, rows), lambda i, j, *p: (0, i)),
+            pl.BlockSpec((1, block_k), lambda i, j, *p: (0, j)),
         ],
         out_specs=pl.BlockSpec(
-            (hkv, rows, d), lambda i, j, f, mp: (0, i, 0)
+            (hkv, rows, d), lambda i, j, *p: (0, i, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((hkv * rows, 128), jnp.float32),
@@ -212,8 +242,8 @@ def flash_prefill(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(flags_kv.astype(jnp.int32), kblk_minpos, qh, kh, vh, qseg_rows,
-      seg2, qpos_rows, pos2)
+    )(flags_kv.astype(jnp.int32), kblk_minpos, kblk_maxpos, qblk_minpos,
+      qh, kh, vh, qseg_rows, seg2, qpos_rows, pos2)
     # [Hkv, T*n_rep, D] -> [T, Hq, D]
     return out.reshape(hkv, t, n_rep, d).transpose(1, 0, 2, 3).reshape(
         t, hq, d

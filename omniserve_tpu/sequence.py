@@ -158,6 +158,7 @@ class SequenceGroup:
         seqs: List[Sequence],
         sampling_params: SamplingParams,
         arrival_time: float,
+        prefix=None,
     ) -> None:
         self.request_id = request_id
         self.seqs_dict: Dict[int, Sequence] = {s.seq_id: s for s in seqs}
@@ -165,6 +166,9 @@ class SequenceGroup:
         self.arrival_time = arrival_time
         self.prompt = seqs[0].prompt
         self.prompt_token_ids = seqs[0].data.prompt_token_ids
+        # shared prompt prefix (core/prefix.Prefix) or None
+        # (reference sequence.py:352-371)
+        self.prefix = prefix
 
     def get_seqs(
         self, status: Optional[SequenceStatus] = None
@@ -213,6 +217,7 @@ class SequenceGroupMetadata:
         sampling_params: SamplingParams,
         block_tables: Dict[int, List[int]],
         streaming_block_tables: Optional[Dict[int, List[int]]] = None,
+        prefix=None,
     ) -> None:
         self.request_id = request_id
         self.is_prompt = is_prompt
@@ -220,6 +225,7 @@ class SequenceGroupMetadata:
         self.sampling_params = sampling_params
         self.block_tables = block_tables
         self.streaming_block_tables = streaming_block_tables or {}
+        self.prefix = prefix
 
 
 class SequenceOutput:

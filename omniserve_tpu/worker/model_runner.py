@@ -326,20 +326,19 @@ class ModelRunner:
         b = logits.shape[0]
         temps = np.zeros(b, np.float32)
         top_ps = np.ones(b, np.float32)
-        top_k = -1
+        top_ks = np.full(b, -1, np.int32)   # per-row (mixed batches OK)
         i = 0
         for group in metadata:
             sp = group.sampling_params
-            if sp.top_k > 0:
-                top_k = max(top_k, sp.top_k)
             for _ in group.seq_data:
                 temps[rows[i]] = sp.temperature
                 top_ps[rows[i]] = sp.top_p
+                top_ks[rows[i]] = sp.top_k
                 i += 1
         self._rng, key = jax.random.split(self._rng)
         ids = sample(
             logits, key, jnp.asarray(temps), jnp.asarray(top_ps),
-            top_k=int(top_k),
+            top_k=jnp.asarray(top_ks),
         )
         return np.asarray(ids)
 
@@ -532,8 +531,14 @@ class ModelRunner:
             chunk_budget = getattr(
                 self.scheduler_config, "chunk_prefill_size", 32000
             )
+            # The chunked path routes ALL q heads over the retrieval pool;
+            # with a streaming pool present (enable_streaming, independent
+            # of sparse_context_mode) that would mis-group GQA heads —
+            # gate on BOTH until the sparse chunked path handles head
+            # routing (see _execute_chunked_prefill).
             if (total_tokens > chunk_budget
-                    and not self.spec.sparse_prefill):
+                    and not self.spec.sparse_prefill
+                    and ce.streaming_pool is None):
                 logits, seq_ids, n_seqs = self._execute_chunked_prefill(
                     metadata, chunk_budget
                 )
