@@ -258,7 +258,12 @@ class LLMEngine:
             for meta in self._static_metadata:
                 meta.is_prompt = False
             self._grow_static_tables()
-            if n_multi > 1 and self._all_greedy():
+            if (
+                n_multi > 1
+                and self._all_greedy()
+                and self.parallel_config.world_size == 1
+                # multi-step's jitted scan is not shard_map'd yet
+            ):
                 # reserve pages for the whole window, run the scan, buffer
                 for group in self._static_outputs.scheduled_seq_groups:
                     for seq in group.get_seqs(SequenceStatus.RUNNING):

@@ -462,20 +462,30 @@ def make_attn_meta(
 # ---------------------------------------------------------------------------
 
 
-def _apply_linear(weight, spec: LlamaSpec, x_q, x_scale=None, x_sum=None):
-    """Quantized (or bf16) linear. x_q is int8 acts or bf16 input."""
+def _apply_linear(weight, spec: LlamaSpec, x_q, x_scale=None, x_sum=None,
+                  layer=None):
+    """Quantized (or bf16) linear. x_q is int8 acts or bf16 input.
+
+    ``layer`` (traced) indexes STACKED [L, ...] weights — the Pallas GEMMs
+    select the layer inside their BlockSpec index maps so the scan over
+    layers never materializes a per-layer weight copy (~4 GB/step of pure
+    copy traffic for an 8B model otherwise)."""
     if spec.weight_bits == 4 and spec.group_size == -1:
         return w4a8_matmul_per_channel(
             x_q, weight.qweight, weight.s1_scales, weight.s1_szeros,
-            x_scale, x_sum,
+            x_scale, x_sum, layer=layer,
         )
     if spec.weight_bits == 4:
         return w4a8_matmul_per_group(
             x_q, weight.qweight, weight.s1_scales, weight.s2_scales,
             weight.s2_zeros, x_scale, group_size=spec.group_size,
+            layer=layer,
         )
     if spec.weight_bits == 8:
-        return w8a8_matmul(x_q, weight.qweight, weight.scales, x_scale)
+        return w8a8_matmul(x_q, weight.qweight, weight.scales, x_scale,
+                           layer=layer)
+    if layer is not None:
+        weight = weight[layer]
     return jnp.dot(
         x_q.astype(jnp.bfloat16), weight,
         preferred_element_type=jnp.float32,
@@ -611,10 +621,14 @@ def _write_kv(
     return retrieval_pool, streaming_pool
 
 
-def _dense_mlp(h, lp, spec: LlamaSpec):
-    """The standard Llama SwiGLU MLP (pre-norm, quantized, residual)."""
-    x_q, x_scale, x_sum = _norm_quant(h, lp["mlp_ln"], spec)
-    gate_up = _apply_linear(lp["gate_up"], spec, x_q, x_scale, x_sum)
+def _dense_mlp(h, lp, spec: LlamaSpec, layer=None):
+    """The standard Llama SwiGLU MLP (pre-norm, quantized, residual).
+
+    ``lp`` holds STACKED [L, ...] weights; ``layer`` selects the layer."""
+    mlp_ln = lp["mlp_ln"] if layer is None else lp["mlp_ln"][layer]
+    x_q, x_scale, x_sum = _norm_quant(h, mlp_ln, spec)
+    gate_up = _apply_linear(lp["gate_up"], spec, x_q, x_scale, x_sum,
+                            layer=layer)
     if spec.quantized_acts:
         g_q, g_scale, g_sum = silu_and_mul_quant(
             gate_up, fuse_sum=spec.needs_act_sums
@@ -623,7 +637,8 @@ def _dense_mlp(h, lp, spec: LlamaSpec):
         g_q, g_scale, g_sum = (
             silu_and_mul(gate_up).astype(jnp.bfloat16), None, None
         )
-    d_out = _apply_linear(lp["down"], spec, g_q, g_scale, g_sum)
+    d_out = _apply_linear(lp["down"], spec, g_q, g_scale, g_sum,
+                          layer=layer)
     if spec.tp_axis is not None:
         d_out = jax.lax.psum(d_out, spec.tp_axis)
     return h + d_out.astype(h.dtype)
@@ -642,9 +657,11 @@ def _layer_step(
     t = h.shape[0]
     pages_r, slots_r, pages_s, slots_s = page_io
 
-    # -- attention block --
-    x_q, x_scale, x_sum = _norm_quant(h, lp["attn_ln"], spec)
-    qkv = _apply_linear(lp["qkv"], spec, x_q, x_scale, x_sum)
+    # -- attention block -- (lp is STACKED; big weights are indexed inside
+    # the GEMM kernels via layer_idx, tiny norm weights sliced here)
+    x_q, x_scale, x_sum = _norm_quant(h, lp["attn_ln"][layer_idx], spec)
+    qkv = _apply_linear(lp["qkv"], spec, x_q, x_scale, x_sum,
+                        layer=layer_idx)
     q, k, v = _split_qkv(qkv, spec, t)
     q = apply_rope(q, batch.positions, inv_freq)
     k = apply_rope(k, batch.positions, inv_freq)
@@ -720,13 +737,14 @@ def _layer_step(
         )
     attn = attn.reshape(t, spec.q_size)
     a_q, a_scale, a_sum = _act_quant(attn, spec)
-    o_out = _apply_linear(lp["o"], spec, a_q, a_scale, a_sum)
+    o_out = _apply_linear(lp["o"], spec, a_q, a_scale, a_sum,
+                          layer=layer_idx)
     if spec.tp_axis is not None:
         o_out = jax.lax.psum(o_out, spec.tp_axis)
     h = h + o_out.astype(h.dtype)
 
     # -- MLP block (dense SwiGLU, or MoE when mlp_fn is overridden) --
-    h = mlp_fn(h, lp, spec)
+    h = mlp_fn(h, lp, spec, layer_idx)
     return h, pools, page_idxes_l
 
 
@@ -772,12 +790,19 @@ def llama_forward(
     meta = params["attn_meta"]
     use_sparse = (not is_prefill) and spec.sparse_decode
 
+    # The stacked layer weights stay OUT of the scan xs: scan would
+    # dynamic-slice (= copy) every layer's 100 MB+ of packed weights each
+    # step. The GEMM kernels index the stacked arrays by layer_idx via
+    # scalar-prefetched BlockSpecs instead; only tiny per-layer leaves
+    # (norm weights, head flags) are sliced.
+    layers_p = params["layers"]
+
     def body(carry, xs):
         h, rpool, spool = carry
-        layer_idx, lp, flags_l, rank_l = xs
+        layer_idx, flags_l, rank_l = xs
         meta_l = {"retrieval_flags": flags_l, "head_rank": rank_l}
         h2, (rpool, spool), page_idxes_l = _layer_step(
-            h, (rpool, spool), layer_idx, lp, meta_l, inv_freq, spec,
+            h, (rpool, spool), layer_idx, layers_p, meta_l, inv_freq, spec,
             is_prefill, batch, page_io, use_sparse, mlp_fn=mlp_fn,
         )
         return (h2, rpool, spool), page_idxes_l
@@ -785,7 +810,6 @@ def llama_forward(
     inv_freq = rope_freqs(spec.head_dim, spec.rope_base, spec.rope_scaling)
     xs = (
         jnp.arange(spec.num_layers),
-        params["layers"],
         meta["retrieval_flags"],
         meta["head_rank"],
     )

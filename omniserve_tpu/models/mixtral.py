@@ -83,8 +83,18 @@ def _expert_bmm(weight, spec: MixtralSpec, x_q, x_scale=None, x_sum=None):
     return moe_ops.bf16_bmm(x_q, weight)
 
 
-def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec):
-    """Pre-norm MoE block: route -> dispatch -> expert SwiGLU -> combine."""
+def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec,
+            layer=None):
+    """Pre-norm MoE block: route -> dispatch -> expert SwiGLU -> combine.
+
+    ``lp`` arrives STACKED over layers (llama_forward keeps the weights
+    out of the scan xs); slice this layer's leaves up front. The expert
+    GEMMs still materialize the slice — in-kernel layer indexing for the
+    grouped MoE matmuls is a follow-up.
+    """
+    if layer is not None:
+        lp = {k: jax.tree.map(lambda x: x[layer], lp[k])
+              for k in ("mlp_ln", "gate", "w13", "w2")}
     t = h.shape[0]
     e, k = spec.num_experts, spec.top_k
     capacity = moe_capacity(spec, t)

@@ -128,18 +128,32 @@ def load_llama_params(
     spec: LlamaSpec,
     retrieval_flags: Optional[np.ndarray] = None,
     head_rank: Optional[np.ndarray] = None,
+    tp_size: int = 1,
 ) -> Tuple[Dict[str, Any], Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    """Returns (params, (k_pt_scales, v_pt_scales) or None)."""
+    """Returns (params, (k_pt_scales, v_pt_scales) or None).
+
+    ``spec`` carries PER-RANK sizes (like make_random_packed_params);
+    global HF weights are fused RANK-MAJOR so sharding the fused output
+    axis over ``model`` hands each rank its own (q, k, v) / (gate, up)
+    slice (reference weight_utils.py:179-220's column split points)."""
     path = _resolve_path(model_config.quant_path or model_config.model)
     if os.path.exists(os.path.join(path, "packed.npz")):
+        if tp_size > 1:
+            raise NotImplementedError(
+                "packed.npz checkpoints are packed for tp=1; re-run the "
+                "converter with --tp-size to serve them tensor-parallel"
+            )
         return load_packed_params(path, spec, retrieval_flags, head_rank)
-    L, D, I = spec.num_layers, spec.hidden, spec.intermediate
+    L, D = spec.num_layers, spec.hidden
+    I = spec.intermediate * tp_size
+    q_size = spec.q_size * tp_size
+    kv_size = spec.kv_size * tp_size
 
     # collect per-layer fp weights
-    q = np.zeros((L, spec.q_size, D), np.float32)
-    k = np.zeros((L, spec.kv_size, D), np.float32)
-    v = np.zeros((L, spec.kv_size, D), np.float32)
-    o = np.zeros((L, D, spec.q_size), np.float32)
+    q = np.zeros((L, q_size, D), np.float32)
+    k = np.zeros((L, kv_size, D), np.float32)
+    v = np.zeros((L, kv_size, D), np.float32)
+    o = np.zeros((L, D, q_size), np.float32)
     gate = np.zeros((L, I, D), np.float32)
     up = np.zeros((L, I, D), np.float32)
     down = np.zeros((L, D, I), np.float32)
@@ -196,20 +210,26 @@ def load_llama_params(
     if lm_head is None:
         lm_head = embed  # tied embeddings
 
+    from omniserve_tpu.models.llama import (
+        fuse_gate_up_rank_major,
+        fuse_qkv_rank_major,
+    )
+
     fp_layers = {
         "attn_ln": jnp.asarray(attn_ln),
         "mlp_ln": jnp.asarray(mlp_ln),
-        "qkv": jnp.asarray(np.concatenate([q, k, v], axis=1)),
+        "qkv": jnp.asarray(fuse_qkv_rank_major(q, k, v, tp_size)),
         "o": jnp.asarray(o),
-        "gate_up": jnp.asarray(np.concatenate([gate, up], axis=1)),
+        "gate_up": jnp.asarray(fuse_gate_up_rank_major(gate, up, tp_size)),
         "down": jnp.asarray(down),
     }
     params = {
         "embed": jnp.asarray(embed).astype(jnp.bfloat16),
         "final_ln": jnp.asarray(final_ln),
         "lm_head": jnp.asarray(lm_head.T).astype(jnp.bfloat16),
-        "layers": quantize_layer_weights(fp_layers, spec),
-        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
+        "layers": quantize_layer_weights(fp_layers, spec, tp_size),
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank,
+                                    tp_size),
     }
     kv_scales = None
     if has_pt_scales and not model_config.kv_zeros:

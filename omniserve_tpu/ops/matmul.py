@@ -140,14 +140,22 @@ def w8a8_matmul_ref(
 
 def w4a8_matmul_per_channel(
     a_i8, qweight, s1_scales, s1_szeros, a_scale, a_sum,
-    out_dtype=jnp.bfloat16,
+    out_dtype=jnp.bfloat16, layer=None,
 ):
-    if _use_pallas(qweight.shape[0], qweight.shape[1]):
+    """``layer`` (traced) selects a layer of STACKED [L, ...] weights; the
+    Pallas path indexes via the BlockSpec (no materialized slice copy),
+    the reference path slices."""
+    k2, n = qweight.shape[-2:]
+    if _use_pallas(k2, n):
         from omniserve_tpu.ops.pallas import quant_matmul
 
         return quant_matmul.w4a8_matmul_per_channel(
             a_i8, qweight, s1_scales, s1_szeros, a_scale, a_sum,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, layer=layer,
+        )
+    if layer is not None:
+        qweight, s1_scales, s1_szeros = (
+            qweight[layer], s1_scales[layer], s1_szeros[layer]
         )
     return w4a8_matmul_per_channel_ref(
         a_i8, qweight, s1_scales, s1_szeros, a_scale, a_sum,
@@ -157,14 +165,20 @@ def w4a8_matmul_per_channel(
 
 def w4a8_matmul_per_group(
     a_i8, qweight, s1_scales, s2_scales, s2_zeros, a_scale,
-    group_size=128, out_dtype=jnp.bfloat16,
+    group_size=128, out_dtype=jnp.bfloat16, layer=None,
 ):
-    if _use_pallas(qweight.shape[0], qweight.shape[1], group_size):
+    k2, n = qweight.shape[-2:]
+    if _use_pallas(k2, n, group_size):
         from omniserve_tpu.ops.pallas import quant_matmul
 
         return quant_matmul.w4a8_matmul_per_group(
             a_i8, qweight, s1_scales, s2_scales, s2_zeros, a_scale,
-            group_size=group_size, out_dtype=out_dtype,
+            group_size=group_size, out_dtype=out_dtype, layer=layer,
+        )
+    if layer is not None:
+        qweight, s1_scales, s2_scales, s2_zeros = (
+            qweight[layer], s1_scales[layer], s2_scales[layer],
+            s2_zeros[layer],
         )
     return w4a8_matmul_per_group_ref(
         a_i8, qweight, s1_scales, s2_scales, s2_zeros, a_scale,
@@ -172,14 +186,18 @@ def w4a8_matmul_per_group(
     )
 
 
-def w8a8_matmul(a_i8, qweight, w_scales, a_scale, out_dtype=jnp.bfloat16):
-    k, n = qweight.shape
+def w8a8_matmul(a_i8, qweight, w_scales, a_scale, out_dtype=jnp.bfloat16,
+                layer=None):
+    k, n = qweight.shape[-2:]
     if _use_pallas(k // 2, n):
         from omniserve_tpu.ops.pallas import quant_matmul
 
         return quant_matmul.w8a8_matmul(
-            a_i8, qweight, w_scales, a_scale, out_dtype=out_dtype
+            a_i8, qweight, w_scales, a_scale, out_dtype=out_dtype,
+            layer=layer,
         )
+    if layer is not None:
+        qweight, w_scales = qweight[layer], w_scales[layer]
     return w8a8_matmul_ref(a_i8, qweight, w_scales, a_scale,
                            out_dtype=out_dtype)
 

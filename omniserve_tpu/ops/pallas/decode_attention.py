@@ -149,11 +149,13 @@ def _sp_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     length = lengths_ref[b]
+    gb = g * bk                    # tokens per nibble stream per chunk
+    lanes = 4 * gb                 # chunk token lanes
 
-    # chunk lane map: lane = blk*128 + p*bk + t  (4 blocks x 128 lanes)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1)
-    blk = lane // 128
-    pos = lane % 128
+    # chunk lane map: lane = blk*gb + p*bk + t  (4 streams x g*bk lanes)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    blk = lane // gb
+    pos = lane % gb
     p_of = pos // bk
     tok = blk * bk + (pos % bk)
     logic = jnp.full_like(lane, -1)
@@ -167,35 +169,47 @@ def _sp_kernel(
     @pl.when(any_valid)
     def _compute():
         n_rep = q_ref.shape[2]
+
+        def nib_blocks(buf):
+            # ONE unpack chain for ALL heads: [H, G*R, D] u8 -> 4 bf16
+            # nibble streams [H*G*bk, D]; per-head rows are the
+            # contiguous slices [h*g*bk, (h+1)*g*bk)
+            flat = buf[slot]                           # [H, G*R, D] u8
+            w32 = pltpu.bitcast(
+                flat.reshape(n_heads * flat.shape[1], flat.shape[2]),
+                jnp.int32,
+            )
+            out = []
+            for sh in _NIBBLE_SHIFTS:
+                w = w32 if sh == 0 else (w32 >> sh)
+                out.append(pltpu.bitcast(
+                    (w & 0x000F000F) | _MAGIC, jnp.bfloat16
+                ))                                     # [H*gb, D]
+            return out
+
+        ks = nib_blocks(k_buf)
+        vs = nib_blocks(v_buf)
+
         for h in range(n_heads):
             rs = slice(h * n_rep, (h + 1) * n_rep)
+            hrows = slice(h * gb, (h + 1) * gb)
             q_bf = q_ref[0, h].astype(jnp.bfloat16)
             # the rank-1 corrections must see EXACTLY the values the MXU
             # dots see — with the +128 magic bias any f32-vs-bf16 operand
             # mismatch is amplified ~128x by cancellation
             q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=1, keepdims=True)
 
-            def nib_blocks(buf):
-                w32 = pltpu.bitcast(buf[slot, h], jnp.int32)  # [G*R/4, D]
-                out = []
-                for sh in _NIBBLE_SHIFTS:
-                    w = w32 if sh == 0 else (w32 >> sh)
-                    out.append(pltpu.bitcast(
-                        (w & 0x000F000F) | _MAGIC, jnp.bfloat16
-                    ))                                         # [128, D]
-                return out
-
             qk_int = jnp.concatenate(
                 [
                     jax.lax.dot_general(
-                        q_bf, a,
+                        q_bf, a[hrows],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    for a in nib_blocks(k_buf)
+                    for a in ks
                 ],
                 axis=1,
-            )                                                  # [n_rep, 512]
+            )                                          # [n_rep, lanes]
             if kv_zeros:
                 s0 = sc_ref[0, h, 0][None, :]
                 s1 = sc_ref[0, h, 1][None, :]      # = s*(z+128)
@@ -230,12 +244,11 @@ def _sp_kernel(
                     p_bf.astype(jnp.float32), axis=1, keepdims=True
                 )
                 v_scale = pt_ref[1]
-            vb = nib_blocks(v_buf)
             pv = None
             for i in range(4):
                 part = jax.lax.dot_general(
-                    p_bf[:, i * 128:(i + 1) * 128],
-                    vb[i],
+                    p_bf[:, i * gb:(i + 1) * gb],
+                    vs[i][hrows],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -255,9 +268,9 @@ def _gather_scale_planes(pool: KVPool, layer, sel_phys, page_size, g,
                          n_chunks):
     """Pre-gather + fold the fine-grained quant params to kernel layout.
 
-    [L, P, H, 4*page] -> [B, H, 4, nc*512] f32 with planes
-    (ks, ks*(kz+128), vs, vs*(vz+128)) and chunk lanes ordered
-    blk*128 + p*bk + t (matching the kernel's nibble-stream order).
+    [L, P, H, 4*page] -> [B, H, 4, nc*4*g*bk] f32 with planes
+    (ks, ks*(kz+128), vs, vz+128) and chunk lanes ordered
+    blk*(g*bk) + p*bk + t (matching the kernel's nibble-stream order).
     """
     if pool.kv_scales is None:
         return None
@@ -279,7 +292,7 @@ def _gather_scale_planes(pool: KVPool, layer, sel_phys, page_size, g,
     )                                                     # [B,Tp,H,4,T]
     planes = planes.reshape(b, n_chunks, g, H, 4, 4, bk)
     planes = planes.transpose(0, 3, 4, 1, 5, 2, 6)        # [B,H,4,nc,4,G,bk]
-    return planes.reshape(b, H, 4, n_chunks * 512)
+    return planes.reshape(b, H, 4, n_chunks * 4 * g * bk)
 
 
 def paged_mqa_attention_single_pass(
@@ -299,8 +312,13 @@ def paged_mqa_attention_single_pass(
     """kv4 decode attention reading pages straight from the pool in HBM."""
     b, hkv, n_rep, d = q.shape
     bk = page_size // 4
-    g = 128 // bk
     tp = sel_logic.shape[-1]
+    # pages per chunk: per-grid-step fixed cost dominates at small chunks,
+    # so cover up to ~1K tokens per step; g*bk must be a multiple of 128
+    # (lane-tile-aligned slices of the nibble streams)
+    quantum = max(1, 128 // bk)
+    cap = max(quantum, 1024 // page_size)
+    g = min(cap, quantum * _cdiv(tp, quantum))
     n_chunks = _cdiv(tp, g)
     pad = n_chunks * g - tp
     if pad:
@@ -314,10 +332,11 @@ def paged_mqa_attention_single_pass(
     v_flat = pool.v_data.reshape(L * P, hkv, rows, d)
     phys_folded = (layer * P + sel_phys).astype(jnp.int32)
 
+    lanes = 4 * g * bk
     sc = _gather_scale_planes(pool, layer, sel_phys, page_size, g, n_chunks)
     fine = sc is not None
     if not fine:
-        sc = jnp.zeros((1, hkv, 4, 512), jnp.float32)
+        sc = jnp.zeros((1, hkv, 4, lanes), jnp.float32)
 
     if pt_scales is None:
         pt_arr = jnp.zeros((2,), jnp.float32)
@@ -343,7 +362,7 @@ def paged_mqa_attention_single_pass(
             pl.BlockSpec((1, hkv, n_rep, d),
                          lambda b_, j_, *pref: (b_, 0, 0, 0)),
             pl.BlockSpec(
-                (1, hkv, 4, 512),
+                (1, hkv, 4, lanes),
                 (lambda b_, j_, *pref: (b_, 0, 0, j_)) if fine
                 else (lambda b_, j_, *pref: (0, 0, 0, 0)),
             ),

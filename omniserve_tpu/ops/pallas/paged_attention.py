@@ -491,7 +491,10 @@ def paged_decode_attention(
     """Drop-in Pallas replacement for attention_ref.paged_decode_attention."""
     b, hq, d = q.shape
     max_blocks = block_tables.shape[1]
-    if head_is_retrieval is None:
+    pure_dense = head_is_retrieval is None
+    if pure_dense:
+        # no streaming pool and identity head routing: skip the pool-row
+        # gathers/scatters entirely (they cost ~1 ms/step at batch 128)
         hkv = pool.num_heads
         head_is_retrieval = jnp.ones((hkv,), bool)
         head_rank = jnp.arange(hkv)
@@ -511,8 +514,12 @@ def paged_decode_attention(
 
     # -- retrieval pool call (q heads routed by rank) --
     hr = pool.num_heads
-    src_r = _pool_head_sources(head_rank, head_is_retrieval, hr, True)
-    q_r = q_g[:, src_r]                               # [B, Hr, n_rep, D]
+    if pure_dense:
+        q_r = q_g
+        src_r = jnp.arange(hr)   # identity (used by page_idxes routing)
+    else:
+        src_r = _pool_head_sources(head_rank, head_is_retrieval, hr, True)
+        q_r = q_g[:, src_r]                           # [B, Hr, n_rep, D]
     if page_idxes is not None:
         sel_logic = page_idxes[:, src_r]              # [B, Hr, n_sel]
         safe = jnp.clip(sel_logic, 0, max_blocks - 1)
@@ -547,6 +554,9 @@ def paged_decode_attention(
             sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
             kv_zeros=kv_zeros, pt_scales=pt_of(pool), interpret=interpret,
         )                                             # [B, Hr, n_rep, D]
+    if pure_dense:
+        return out_r.reshape(b, hq, d)
+
     # scatter pool rows back to kv-head positions
     rank_c = jnp.clip(head_rank, 0, hr - 1)
     out_full_r = jnp.take_along_axis(

@@ -75,6 +75,7 @@ def _pick_tile(dim: int, cap: int, quantum: int):
 
 
 def _per_chn_kernel(
+    layer_ref,  # [1] i32 scalar prefetch: layer index into stacked weights
     a_lo_ref, a_hi_ref, w_ref, s1_ref, sz_ref, arow_ref,
     o_ref, acc_ref, *, n_k: int,
 ):
@@ -84,7 +85,7 @@ def _per_chn_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w_lo, w_hi = _unpack_u8(w_ref[...])
+    w_lo, w_hi = _unpack_u8(w_ref[0])
     psum = jax.lax.dot_general(
         a_lo_ref[...], w_lo,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -99,8 +100,8 @@ def _per_chn_kernel(
 
     @pl.when(k == n_k - 1)
     def _epilogue():
-        s1 = s1_ref[0, :][None, :]        # [1, bn]
-        sz = sz_ref[0, :][None, :]
+        s1 = s1_ref[0, 0, :][None, :]      # [1, bn]
+        sz = sz_ref[0, 0, :][None, :]
         a_scale = arow_ref[:, 0][:, None]  # [bm, 1]
         a_sum = arow_ref[:, 1][:, None]
         out = (
@@ -109,24 +110,38 @@ def _per_chn_kernel(
         o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _stack1(*arrs):
+    """Add a leading L=1 axis to unstacked weight-side arrays."""
+    return tuple(a[None] for a in arrs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "bn", "bk2", "interpret"),
 )
 def w4a8_matmul_per_channel(
     a_i8: jnp.ndarray,       # [M, K] int8
-    qweight: jnp.ndarray,    # [K/2, N] uint8 half-split packed
-    s1_scales: jnp.ndarray,  # [N] f32
-    s1_szeros: jnp.ndarray,  # [N] f32
+    qweight: jnp.ndarray,    # [(L,) K/2, N] uint8 half-split packed
+    s1_scales: jnp.ndarray,  # [(L,) N] f32
+    s1_szeros: jnp.ndarray,  # [(L,) N] f32
     a_scale: jnp.ndarray,    # [M] f32
     a_sum: jnp.ndarray,      # [M] f32
     out_dtype=jnp.bfloat16,
     bn: int = 1024,
     bk2: int = 1024,
     interpret: bool = False,
+    layer=None,              # traced index into stacked [L, ...] weights
 ) -> jnp.ndarray:
+    """``layer`` selects a layer of STACKED weights via the BlockSpec index
+    map (scalar prefetch), so scan-over-layers models avoid the 100 MB+
+    dynamic-slice copy XLA would otherwise materialize per layer."""
     m, k = a_i8.shape
-    k2, n = qweight.shape
+    if qweight.ndim == 2:
+        qweight, s1_scales, s1_szeros = _stack1(
+            qweight, s1_scales, s1_szeros
+        )
+        layer = 0
+    k2, n = qweight.shape[-2:]
     assert k == 2 * k2, (a_i8.shape, qweight.shape)
     bm = _pick_bm(m)
     bk2 = _pick_tile(k2, bk2, 128) or _pick_tile(k2, bk2, 64)
@@ -139,24 +154,30 @@ def w4a8_matmul_per_channel(
     # per-row epilogue params as one [M, 2] f32 array (cols: scale, sum)
     arow = jnp.stack([a_scale, a_sum], axis=1).astype(jnp.float32)
     arow = _pad_rows(arow, mp)
-    s1_2d = s1_scales.astype(jnp.float32)[None, :]
-    sz_2d = s1_szeros.astype(jnp.float32)[None, :]
+    s1_3d = s1_scales.astype(jnp.float32)[:, None, :]   # [L, 1, N]
+    sz_3d = s1_szeros.astype(jnp.float32)[:, None, :]
+    layer_arr = jnp.asarray([layer], jnp.int32)
 
     grid = (mp // bm, n // bn, n_k)
-    out = pl.pallas_call(
-        functools.partial(_per_chn_kernel, n_k=n_k),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk + n_k)),
-            pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
-            pl.BlockSpec((bm, 2), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((bm, bk2), lambda i, j, kk, lr: (i, kk)),
+            pl.BlockSpec((bm, bk2), lambda i, j, kk, lr: (i, kk + n_k)),
+            pl.BlockSpec((1, bk2, bn), lambda i, j, kk, lr:
+                         (lr[0], kk, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, kk, lr: (lr[0], 0, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, kk, lr: (lr[0], 0, j)),
+            pl.BlockSpec((bm, 2), lambda i, j, kk, lr: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, lr: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_per_chn_kernel, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -166,7 +187,7 @@ def w4a8_matmul_per_channel(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_p, a_p, qweight, s1_2d, sz_2d, arow)
+    )(layer_arr, a_p, a_p, qweight, s1_3d, sz_3d, arow)
     return out[:m]
 
 
@@ -176,6 +197,7 @@ def w4a8_matmul_per_channel(
 
 
 def _per_group_kernel(
+    layer_ref,
     a_lo_ref, a_hi_ref, w_ref, s2lo_ref, s2zlo_ref, s2hi_ref, s2zhi_ref,
     s1_ref, arow_ref, o_ref, acc_ref, *, n_k: int, group_size: int,
 ):
@@ -185,15 +207,15 @@ def _per_group_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w_lo, w_hi = _unpack_u8(w_ref[...])          # [bk2, bn] int8 in [0,15]
+    w_lo, w_hi = _unpack_u8(w_ref[0])            # [bk2, bn] int8 in [0,15]
     bk2, bn = w_lo.shape
     g = bk2 // group_size
 
     def dequant(w_u4, s2_ref, s2z_ref):
         # int16 intermediate: u4 * s2 can exceed int8 before + zero offset
         w3 = w_u4.reshape(g, group_size, bn).astype(jnp.int16)
-        s2 = s2_ref[...].astype(jnp.int16)[:, None, :]     # [g, 1, bn]
-        s2z = s2z_ref[...].astype(jnp.int16)[:, None, :]
+        s2 = s2_ref[0].astype(jnp.int16)[:, None, :]       # [g, 1, bn]
+        s2z = s2z_ref[0].astype(jnp.int16)[:, None, :]
         return (w3 * s2 + s2z).astype(jnp.int8).reshape(bk2, bn)
 
     psum = jax.lax.dot_general(
@@ -210,7 +232,7 @@ def _per_group_kernel(
 
     @pl.when(k == n_k - 1)
     def _epilogue():
-        s1 = s1_ref[0, :][None, :]
+        s1 = s1_ref[0, 0, :][None, :]
         a_scale = arow_ref[:, 0][:, None]
         out = acc_ref[...].astype(jnp.float32) * s1 * a_scale
         o_ref[...] = out.astype(o_ref.dtype)
@@ -222,19 +244,25 @@ def _per_group_kernel(
 )
 def w4a8_matmul_per_group(
     a_i8: jnp.ndarray,       # [M, K] int8
-    qweight: jnp.ndarray,    # [K/2, N] uint8
-    s1_scales: jnp.ndarray,  # [N] f32
-    s2_scales: jnp.ndarray,  # [K/group, N] int8
-    s2_zeros: jnp.ndarray,   # [K/group, N] int8
+    qweight: jnp.ndarray,    # [(L,) K/2, N] uint8
+    s1_scales: jnp.ndarray,  # [(L,) N] f32
+    s2_scales: jnp.ndarray,  # [(L,) K/group, N] int8
+    s2_zeros: jnp.ndarray,   # [(L,) K/group, N] int8
     a_scale: jnp.ndarray,    # [M] f32
     group_size: int = 128,
     out_dtype=jnp.bfloat16,
     bn: int = 256,
     bk2: int = 512,
     interpret: bool = False,
+    layer=None,
 ) -> jnp.ndarray:
     m, k = a_i8.shape
-    k2, n = qweight.shape
+    if qweight.ndim == 2:
+        qweight, s1_scales, s2_scales, s2_zeros = _stack1(
+            qweight, s1_scales, s2_scales, s2_zeros
+        )
+        layer = 0
+    k2, n = qweight.shape[-2:]
     assert k == 2 * k2
     bm = _pick_bm(m)
     bk2 = _pick_tile(k2, bk2, group_size)
@@ -249,27 +277,37 @@ def w4a8_matmul_per_group(
         [a_scale, jnp.zeros_like(a_scale)], axis=1
     ).astype(jnp.float32)
     arow = _pad_rows(arow, mp)
-    s1_2d = s1_scales.astype(jnp.float32)[None, :]
+    s1_3d = s1_scales.astype(jnp.float32)[:, None, :]
+    layer_arr = jnp.asarray([layer], jnp.int32)
 
     grid = (mp // bm, n // bn, n_k)
-    s2_spec_lo = pl.BlockSpec((gb, bn), lambda i, j, kk: (kk, j))
-    s2_spec_hi = pl.BlockSpec((gb, bn), lambda i, j, kk: (kk + n_k, j))
+    s2_spec_lo = pl.BlockSpec(
+        (1, gb, bn), lambda i, j, kk, lr: (lr[0], kk, j)
+    )
+    s2_spec_hi = pl.BlockSpec(
+        (1, gb, bn), lambda i, j, kk, lr: (lr[0], kk + n_k, j)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk2), lambda i, j, kk, lr: (i, kk)),
+            pl.BlockSpec((bm, bk2), lambda i, j, kk, lr: (i, kk + n_k)),
+            pl.BlockSpec((1, bk2, bn), lambda i, j, kk, lr:
+                         (lr[0], kk, j)),
+            s2_spec_lo, s2_spec_lo, s2_spec_hi, s2_spec_hi,
+            pl.BlockSpec((1, 1, bn), lambda i, j, kk, lr: (lr[0], 0, j)),
+            pl.BlockSpec((bm, 2), lambda i, j, kk, lr: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, lr: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
     out = pl.pallas_call(
         functools.partial(
             _per_group_kernel, n_k=n_k, group_size=group_size
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk + n_k)),
-            pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j)),
-            s2_spec_lo, s2_spec_lo, s2_spec_hi, s2_spec_hi,
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
-            pl.BlockSpec((bm, 2), lambda i, j, kk: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -279,8 +317,8 @@ def w4a8_matmul_per_group(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_p, a_p, qweight, s2_scales, s2_zeros, s2_scales, s2_zeros,
-      s1_2d, arow)
+    )(layer_arr, a_p, a_p, qweight, s2_scales, s2_zeros, s2_scales,
+      s2_zeros, s1_3d, arow)
     return out[:m]
 
 
@@ -289,7 +327,9 @@ def w4a8_matmul_per_group(
 # ---------------------------------------------------------------------------
 
 
-def _w8a8_kernel(a_ref, w_ref, ws_ref, arow_ref, o_ref, acc_ref, *, n_k):
+def _w8a8_kernel(
+    layer_ref, a_ref, w_ref, ws_ref, arow_ref, o_ref, acc_ref, *, n_k
+):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -297,14 +337,14 @@ def _w8a8_kernel(a_ref, w_ref, ws_ref, arow_ref, o_ref, acc_ref, *, n_k):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     acc_ref[...] += jax.lax.dot_general(
-        a_ref[...], w_ref[...],
+        a_ref[...], w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
     @pl.when(k == n_k - 1)
     def _epilogue():
-        ws = ws_ref[0, :][None, :]
+        ws = ws_ref[0, 0, :][None, :]
         a_scale = arow_ref[:, 0][:, None]
         o_ref[...] = (
             acc_ref[...].astype(jnp.float32) * ws * a_scale
@@ -316,16 +356,20 @@ def _w8a8_kernel(a_ref, w_ref, ws_ref, arow_ref, o_ref, acc_ref, *, n_k):
 )
 def w8a8_matmul(
     a_i8: jnp.ndarray,      # [M, K] int8
-    qweight: jnp.ndarray,   # [K, N] int8
-    w_scales: jnp.ndarray,  # [N] f32
+    qweight: jnp.ndarray,   # [(L,) K, N] int8
+    w_scales: jnp.ndarray,  # [(L,) N] f32
     a_scale: jnp.ndarray,   # [M] f32
     out_dtype=jnp.bfloat16,
     bn: int = 256,
     bk: int = 1024,
     interpret: bool = False,
+    layer=None,
 ) -> jnp.ndarray:
     m, k = a_i8.shape
-    _, n = qweight.shape
+    if qweight.ndim == 2:
+        qweight, w_scales = _stack1(qweight, w_scales)
+        layer = 0
+    _, n = qweight.shape[-2:]
     bm = _pick_bm(m)
     bk = _pick_tile(k, bk, 128) or _pick_tile(k, bk, 64)
     bn = _pick_tile(n, bn, 128)
@@ -338,21 +382,27 @@ def w8a8_matmul(
         [a_scale, jnp.zeros_like(a_scale)], axis=1
     ).astype(jnp.float32)
     arow = _pad_rows(arow, mp)
-    ws_2d = w_scales.astype(jnp.float32)[None, :]
+    ws_3d = w_scales.astype(jnp.float32)[:, None, :]
+    layer_arr = jnp.asarray([layer], jnp.int32)
 
     grid = (mp // bm, n // bn, n_k)
-    out = pl.pallas_call(
-        functools.partial(_w8a8_kernel, n_k=n_k),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
-            pl.BlockSpec((bm, 2), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((bm, bk), lambda i, j, kk, lr: (i, kk)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, kk, lr:
+                         (lr[0], kk, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, kk, lr: (lr[0], 0, j)),
+            pl.BlockSpec((bm, 2), lambda i, j, kk, lr: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, lr: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -362,5 +412,5 @@ def w8a8_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_p, qweight, ws_2d, arow)
+    )(layer_arr, a_p, qweight, ws_3d, arow)
     return out[:m]

@@ -70,6 +70,18 @@ class ModelRunner:
         self.scheduler_config = scheduler_config
         self.sp_attn_config = sp_attn_config
         self.mesh = mesh
+        self.tp_size = (
+            parallel_config.tensor_parallel_size if parallel_config else 1
+        )
+        if parallel_config and parallel_config.data_parallel_size > 1:
+            raise NotImplementedError(
+                "engine-level data parallelism is not wired yet; run one "
+                "engine per data shard (the parallel/ library supports DP "
+                "shardings for library use — see dryrun_multichip)"
+            )
+        tp = self.tp_size
+        if tp > 1 and mesh is None:
+            raise ValueError("tensor parallelism needs a device mesh")
 
         arch = (getattr(model_config.hf_config, "architectures", None)
                 or ["LlamaForCausalLM"])[0]
@@ -79,6 +91,10 @@ class ModelRunner:
             "YiForCausalLM",
         ):
             raise NotImplementedError(f"architecture {arch} not supported yet")
+        if is_moe and tp > 1:
+            raise NotImplementedError(
+                "tensor parallelism for MoE models is not wired yet"
+            )
 
         if is_moe:
             from omniserve_tpu.models import mixtral
@@ -89,11 +105,28 @@ class ModelRunner:
             )
             self._model_forward = mixtral.mixtral_forward
         else:
+            # self.spec: GLOBAL geometry (host prep, cache sizing).
+            # self.local_spec: PER-RANK geometry the shard_map'd forward
+            # runs with (reference shard points weight_utils.py:179-220).
             self.spec = LlamaSpec.from_model_config(
                 model_config, sp_attn_config,
                 page_size=cache_config.page_size,
             )
             self._model_forward = llama.llama_forward
+        self.local_spec = self.spec
+        if tp > 1:
+            import dataclasses
+
+            from omniserve_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            self.local_spec = dataclasses.replace(
+                LlamaSpec.from_model_config(
+                    model_config, sp_attn_config, tp_size=tp,
+                    page_size=cache_config.page_size,
+                ),
+                tp_axis=MODEL_AXIS,
+                dp_axis=DATA_AXIS,
+            )
         retrieval_flags = head_rank = None
         if sp_attn_config is not None and sp_attn_config.enable_streaming:
             retrieval_flags = sp_attn_config.retrieval_head_flags
@@ -103,12 +136,17 @@ class ModelRunner:
             # packed generator: draws quantized arrays directly on device
             # (the fp32-draw+quantize path costs ~20 min / 30 GB host RAM
             # for an 8B model)
-            maker = (mixtral.make_random_params if is_moe
-                     else llama.make_random_packed_params)
-            self.params = maker(
-                self.spec, seed=model_config.seed,
-                retrieval_flags=retrieval_flags, head_rank=head_rank,
-            )
+            if is_moe:
+                self.params = mixtral.make_random_params(
+                    self.spec, seed=model_config.seed,
+                    retrieval_flags=retrieval_flags, head_rank=head_rank,
+                )
+            else:
+                self.params = llama.make_random_packed_params(
+                    self.local_spec, seed=model_config.seed,
+                    retrieval_flags=retrieval_flags, head_rank=head_rank,
+                    tp_size=tp,
+                )
             kv_scales = None
         elif is_moe:
             from omniserve_tpu.models.mixtral import load_mixtral_params
@@ -121,8 +159,9 @@ class ModelRunner:
             from omniserve_tpu.models.weight_loader import load_llama_params
 
             self.params, kv_scales = load_llama_params(
-                model_config, self.spec,
+                model_config, self.local_spec,
                 retrieval_flags=retrieval_flags, head_rank=head_rank,
+                tp_size=tp,
             )
 
         self.cache_engine = CacheEngine(
@@ -144,15 +183,38 @@ class ModelRunner:
         self._rng = jax.random.PRNGKey(model_config.seed)
 
         self._forward = {}
-        for is_prefill in (True, False):
-            self._forward[is_prefill] = jax.jit(
-                functools.partial(
-                    self._model_forward,
-                    spec=self.spec,
-                    is_prefill=is_prefill,
+        if tp > 1:
+            # shard_map'd forward over the (data, model) mesh: params and
+            # KV pools are device_put once with their NamedShardings; the
+            # per-step batch arrays are resharded by jit on entry.
+            from omniserve_tpu.parallel.sharding import make_sharded_forward
+
+            ce = self.cache_engine
+            for is_prefill in (True, False):
+                fn, shardings = make_sharded_forward(
+                    self.local_spec, mesh, is_prefill, self.params,
+                    ce.retrieval_pool, ce.streaming_pool,
+                )
+                self._forward[is_prefill] = fn
+            self.params = jax.device_put(self.params, shardings["params"])
+            ce.set_pools(
+                jax.device_put(
+                    ce.retrieval_pool, shardings["retrieval_pool"]
                 ),
-                donate_argnums=(1, 2),
+                None if ce.streaming_pool is None else jax.device_put(
+                    ce.streaming_pool, shardings["streaming_pool"]
+                ),
             )
+        else:
+            for is_prefill in (True, False):
+                self._forward[is_prefill] = jax.jit(
+                    functools.partial(
+                        self._model_forward,
+                        spec=self.spec,
+                        is_prefill=is_prefill,
+                    ),
+                    donate_argnums=(1, 2),
+                )
 
     # -- slot management ---------------------------------------------------
     def _slot_for(self, seq_id: int) -> Tuple[int, bool]:
