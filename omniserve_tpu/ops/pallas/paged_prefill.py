@@ -160,10 +160,11 @@ def _prefill_kernel(
             if kv_bits == 16:
                 qk = qk_int * sm_scale
             elif kv_zeros:
+                # planes stored folded: plane1 = sc*(z+128) (paged_kv)
                 sc = scales(0)
-                z = scales(1)
+                sz = scales(1) - 128.0 * sc
                 q_sum = jnp.sum(q, axis=1, keepdims=True)
-                qk = (qk_int * sc - (sc * z) * q_sum) * sm_scale
+                qk = (qk_int * sc - sz * q_sum) * sm_scale
             else:
                 bias = 8.0 if kv_bits == 4 else 128.0
                 q_sum = jnp.sum(q, axis=1, keepdims=True)
@@ -185,7 +186,7 @@ def _prefill_kernel(
                 p_eff, corr, v_scale = p, 0.0, 1.0
             elif kv_zeros:
                 vs = scales(2)
-                vz = scales(3)
+                vz = scales(3) - 128.0      # plane3 stored as v_zero+128
                 p_eff = p * vs
                 corr = jnp.sum(p_eff * vz, axis=1, keepdims=True)
                 v_scale = 1.0
