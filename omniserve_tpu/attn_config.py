@@ -84,6 +84,7 @@ class DecAttnConfig:
         # no multi-block (flash-decoding split-K) threshold to switch at.
         self.multiblock_switch = multiblock_switch
         self.page_size = page_size
+        self._ring_local_blocks = 0
         if page_size % sub_chunk_per_block != 0:
             raise ValueError("page_size must be divisible by sub_chunk_per_block")
         self.sub_chunk_size = page_size // sub_chunk_per_block
@@ -96,6 +97,18 @@ class DecAttnConfig:
     @property
     def local_blocks(self) -> int:
         return math.ceil(self.dec_local_size / self.page_size)
+
+    @property
+    def ring_local_blocks(self) -> int:
+        """Physical ring capacity in blocks (>= the decode-local window).
+
+        Chunked sparse prefill needs the ring to retain the ctx-local
+        window plus one prefill chunk; ``sparse_attn_init`` widens this
+        when sparse_context_mode is on. Decode masking still uses the
+        (dec_sink_size, dec_local_size) token band regardless of ring
+        capacity.
+        """
+        return max(self.local_blocks, self._ring_local_blocks)
 
     @property
     def budget_pages(self) -> int:
@@ -227,6 +240,8 @@ def sparse_attn_init(
     num_layers: Optional[int] = None,
     num_kv_heads: Optional[int] = None,
     scores: Optional[np.ndarray] = None,
+    chunk_prefill_size: int = 0,
+    max_model_len: Optional[int] = None,
 ) -> SpAttnConfig:
     """Build the full sparse-attention config (reference attn_config.py:206)."""
     ctx = CtxAttnConfig(sparse_context_mode, ctx_sink_size, ctx_local_size, page_size)
@@ -240,6 +255,14 @@ def sparse_attn_init(
         multiblock_switch,
         page_size,
     )
+    if sparse_context_mode and chunk_prefill_size > 0:
+        # chunked sparse prefill: streaming heads' ctx-local window (plus
+        # one in-flight chunk) must survive in the ring across chunks;
+        # never more than the model's whole context
+        span = ctx_local_size + chunk_prefill_size
+        if max_model_len:
+            span = min(span, max_model_len)
+        dec._ring_local_blocks = math.ceil(span / page_size)
     return SpAttnConfig(
         ctx,
         dec,

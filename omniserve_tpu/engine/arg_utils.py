@@ -167,6 +167,8 @@ class EngineArgs:
                 page_size=self.block_size,
                 num_layers=model_config.get_num_layers(),
                 num_kv_heads=model_config.get_num_kv_heads(),
+                chunk_prefill_size=self.chunk_prefill_size,
+                max_model_len=model_config.max_model_len,
             )
 
         n_retr = self.num_retrieval_blocks
@@ -183,7 +185,7 @@ class EngineArgs:
                     "NUM_STREAMING_GPU_PAGE_BLOCKS",
                     (
                         (sp_attn_config.dec.sink_blocks
-                         + sp_attn_config.dec.local_blocks + 1)
+                         + sp_attn_config.dec.ring_local_blocks + 1)
                         * self.max_num_seqs
                         if sp_attn_config and sp_attn_config.enable_streaming
                         else 0

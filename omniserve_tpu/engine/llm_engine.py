@@ -94,7 +94,8 @@ class LLMEngine:
                 sp_attn_config.dec.sink_blocks if sp_attn_config else 0
             ),
             streaming_local_blocks=(
-                sp_attn_config.dec.local_blocks if sp_attn_config else 0
+                sp_attn_config.dec.ring_local_blocks if sp_attn_config
+                else 0
             ),
             enable_streaming=enable_streaming,
         )
@@ -103,6 +104,7 @@ class LLMEngine:
         self._static_metadata: Optional[List[SequenceGroupMetadata]] = None
         self._static_outputs: Optional[SchedulerOutputs] = None
         self._multi_step_buffer: List = []
+        self._inflight_window = None   # speculative pipelined window
 
         self.decoding_sim_length = int(
             os.environ.get("DECODING_SIMULATION_LENGTH", "0")
@@ -226,6 +228,7 @@ class LLMEngine:
                 self._static_metadata = None
                 self._static_outputs = None
                 self._multi_step_buffer.clear()
+                self._inflight_window = None
             elif not self._multi_step_buffer:
                 # Drop finished groups ONLY between multi-step windows: the
                 # buffered SamplerOutputs are positional in the group list
@@ -242,6 +245,7 @@ class LLMEngine:
                     ]
         if self._static_metadata is None:
             self._multi_step_buffer.clear()   # new static batch
+            self._inflight_window = None
         if self._multi_step_buffer:
             # Drain step: pure host bookkeeping. Block tables are only read
             # at the next execute-model call (the window start grows and
@@ -266,16 +270,39 @@ class LLMEngine:
                 and self.parallel_config.world_size == 1
                 # multi-step's jitted scan is not shard_map'd yet
             ):
-                # reserve pages for the whole window, run the scan, buffer
+                # Pipelined windows: if a window is already in flight
+                # (launched speculatively at the previous boundary), launch
+                # the NEXT one before fetching its tokens — the device
+                # never idles on the host's token sync + window prep.
+                speculate = self.benchmarking_mode and all(
+                    seq.get_output_len() + 2 * n_multi
+                    <= g.sampling_params.max_tokens
+                    for g in self._static_outputs.scheduled_seq_groups
+                    for seq in g.get_seqs(SequenceStatus.RUNNING)
+                )
+                horizon = n_multi * (2 if speculate else 1)
                 for group in self._static_outputs.scheduled_seq_groups:
                     for seq in group.get_seqs(SequenceStatus.RUNNING):
                         self.scheduler.block_manager.reserve_slots(
-                            seq, n_multi
+                            seq, horizon
                         )
                 self._refresh_static_tables()
-                outs = self.worker.execute_model_multi_step(
-                    self._static_metadata, n_multi
-                )
+                handle = self._inflight_window
+                self._inflight_window = None
+                if handle is None:
+                    handle = self.worker.start_multi_step(
+                        self._static_metadata, n_multi
+                    )
+                if speculate:
+                    # host seq state is one window behind the device here:
+                    # offset positions by the in-flight window and seed
+                    # token ids from its device output
+                    self._inflight_window = self.worker.start_multi_step(
+                        self._static_metadata, n_multi,
+                        pos_offset=n_multi,
+                        carry_tokens=self.worker.multi_step_carry(handle),
+                    )
+                outs = self.worker.finish_multi_step(handle)
                 self._multi_step_buffer = outs[1:]
                 return self._process_model_outputs(
                     outs[0], self._static_outputs,

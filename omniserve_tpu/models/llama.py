@@ -72,10 +72,16 @@ class LlamaSpec:
     kv_zeros: bool = True
     group_size: int = -1
     page_size: int = 64
-    # LServe decode sparsity
+    # LServe decode sparsity. sink_blocks/local_blocks are the RING
+    # geometry (physical streaming capacity); dec_*_tokens are the decode
+    # attention band (-1 = the whole ring, the pre-ring-enlargement
+    # behavior). The ring may exceed the decode band when sized for
+    # chunked sparse prefill (attn_config.DecAttnConfig.ring_local_blocks).
     sparse_decode: bool = False
     sink_blocks: int = 2
     local_blocks: int = 4
+    dec_sink_tokens: int = -1
+    dec_local_tokens: int = -1
     sub_chunks: int = 4
     budget_pages: int = 64
     selector_interval: int = 4
@@ -134,7 +140,9 @@ class LlamaSpec:
             kwargs.update(
                 sparse_decode=dec.sparse_decode_mode,
                 sink_blocks=dec.sink_blocks,
-                local_blocks=dec.local_blocks,
+                local_blocks=dec.ring_local_blocks,
+                dec_sink_tokens=dec.dec_sink_size,
+                dec_local_tokens=dec.dec_local_size,
                 sub_chunks=dec.sub_chunk_per_block,
                 budget_pages=dec.budget_pages,
                 selector_interval=dec.selector_update_interval,
@@ -693,13 +701,19 @@ def _layer_step(
         tc = t // nb
         q4 = q.reshape(nb, tc, spec.num_q_heads, spec.head_dim)
         seg2 = batch.segment_ids.reshape(nb, tc)
-        attn = dispatch.paged_prefill_attention(
-            q4, retrieval_pool, layer_idx, batch.block_tables,
-            jnp.where(seg2 >= 0, batch.positions.reshape(nb, tc), -1),
-            batch.context_lens,
-            sm_scale=spec.sm_scale, page_size=spec.page_size,
-            kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
-        )
+        qpos = jnp.where(seg2 >= 0, batch.positions.reshape(nb, tc), -1)
+        if streaming_pool is None:
+            attn = dispatch.paged_prefill_attention(
+                q4, retrieval_pool, layer_idx, batch.block_tables,
+                qpos, batch.context_lens,
+                sm_scale=spec.sm_scale, page_size=spec.page_size,
+                kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
+            )
+        else:
+            attn = _dual_pool_chunk_attn(
+                q4, retrieval_pool, streaming_pool, layer_idx, batch,
+                qpos, meta_l, spec,
+            )
         attn = attn.reshape(t, spec.num_q_heads, spec.head_dim)
     elif is_prefill:
         head_flags_q = (
@@ -734,6 +748,13 @@ def _layer_step(
             sink_blocks=spec.sink_blocks,
             local_blocks=spec.local_blocks,
             page_idxes=page_idxes_l,
+            dec_sink_tokens=(
+                None if spec.dec_sink_tokens < 0 else spec.dec_sink_tokens
+            ),
+            dec_local_tokens=(
+                None if spec.dec_local_tokens < 0
+                else spec.dec_local_tokens
+            ),
         )
     attn = attn.reshape(t, spec.q_size)
     a_q, a_scale, a_sum = _act_quant(attn, spec)
@@ -746,6 +767,57 @@ def _layer_step(
     # -- MLP block (dense SwiGLU, or MoE when mlp_fn is overridden) --
     h = mlp_fn(h, lp, spec, layer_idx)
     return h, pools, page_idxes_l
+
+
+def _dual_pool_chunk_attn(q4, rpool, spool, layer, batch, qpos, meta_l,
+                          spec: LlamaSpec):
+    """Chunked-prefill attention with LServe head routing: retrieval
+    heads attend the full paged history (dense causal), streaming heads
+    attend their sink + ctx-local band out of the ring pool (whose slots
+    are resolved to logical blocks; the ring is sized to cover the ctx
+    window plus one chunk — see DecAttnConfig.ring_local_blocks)."""
+    from omniserve_tpu.ops.paged_kv import ring_logical_blocks
+    from omniserve_tpu.ops.pallas.paged_attention import _pool_head_sources
+
+    nb, tc = q4.shape[:2]
+    hkv, n_rep, d = spec.num_kv_heads, spec.n_rep, spec.head_dim
+    flags = meta_l["retrieval_flags"]
+    rank = meta_l["head_rank"]
+    ctx = batch.context_lens
+    q_g = q4.reshape(nb, tc, hkv, n_rep, d)
+
+    hr = rpool.num_heads
+    src_r = _pool_head_sources(rank, flags, hr, True)
+    q_r = jnp.take(q_g, src_r, axis=2).reshape(nb, tc, hr * n_rep, d)
+    out_r = dispatch.paged_prefill_attention(
+        q_r, rpool, layer, batch.block_tables, qpos, ctx,
+        sm_scale=spec.sm_scale, page_size=spec.page_size,
+        kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
+    ).reshape(nb, tc, hr, n_rep, d)
+
+    hs = spool.num_heads
+    src_s = _pool_head_sources(rank, flags, hs, False)
+    q_s = jnp.take(q_g, src_s, axis=2).reshape(nb, tc, hs * n_rep, d)
+    st = batch.streaming_block_tables
+    n_slots = st.shape[1]
+    ring_local = max(1, n_slots - spec.sink_blocks)
+    sel_s = ring_logical_blocks(
+        ctx, n_slots, spec.sink_blocks, ring_local, spec.page_size
+    )
+    out_s = dispatch.paged_prefill_attention(
+        q_s, spool, layer, st, qpos, ctx,
+        sm_scale=spec.sm_scale, page_size=spec.page_size,
+        kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
+        head_is_retrieval=jnp.zeros((hs * n_rep,), bool),
+        sink_size=spec.ctx_sink, local_size=spec.ctx_local,
+        sel_logic=sel_s, ring_span_pages=ring_local,
+        ring_sink_tokens=spec.sink_blocks * spec.page_size,
+    ).reshape(nb, tc, hs, n_rep, d)
+
+    full_r = jnp.take(out_r, jnp.clip(rank, 0, hr - 1), axis=2)
+    full_s = jnp.take(out_s, jnp.clip(rank, 0, hs - 1), axis=2)
+    out = jnp.where(flags[None, None, :, None, None], full_r, full_s)
+    return out.reshape(nb, tc, hkv * n_rep, d)
 
 
 def _run_selector(q, retrieval_pool, layer_idx, batch, meta_l, spec):

@@ -149,8 +149,14 @@ def paged_decode_attention(
     sink_blocks: int = 0,
     local_blocks: int = 0,
     page_idxes: Optional[jnp.ndarray] = None,  # [B, Hkv, n_sel] logical, -1 pad
+    dec_sink_tokens: Optional[int] = None,
+    dec_local_tokens: Optional[int] = None,
 ) -> jnp.ndarray:
     """Reference paged decode attention with dual pools + dynamic sparsity.
+
+    ``dec_sink_tokens``/``dec_local_tokens`` give the streaming decode
+    band in TOKENS (defaults: the ring window) — the ring may be larger
+    than the decode window when sized for chunked sparse prefill.
 
     Head routing (SURVEY.md §2.3): kv head h uses the retrieval pool at row
     ``head_rank[h]`` if ``head_is_retrieval[h]`` else the streaming ring
@@ -202,9 +208,16 @@ def paged_decode_attention(
         )
     )
     sk_all, sv_all = sgather(streaming_block_tables)  # [B, Ss, Hs, D]
+    n_ring_blocks = max(1, streaming_block_tables.shape[1] - sink_blocks)
     sink_tok = sink_blocks * page_size
-    local_tok = local_blocks * page_size
-    stok = jnp.arange((sink_blocks + local_blocks) * page_size)
+    local_tok = n_ring_blocks * page_size          # ring capacity (tokens)
+    band_sink = (
+        sink_tok if dec_sink_tokens is None else dec_sink_tokens
+    )
+    band_local = (
+        local_tok if dec_local_tokens is None else dec_local_tokens
+    )
+    stok = jnp.arange((sink_blocks + n_ring_blocks) * page_size)
     is_sink_slot = stok < sink_tok
     r = stok - sink_tok
     L = context_lens[:, None]  # [B, 1]
@@ -218,7 +231,10 @@ def paged_decode_attention(
     )
     slot_token = jnp.where(is_sink_slot[None, :], stok[None, :], latest)
     s_valid = (slot_token >= 0) & (slot_token < L)
-    s_valid = s_valid & (is_sink_slot[None, :] | (slot_token >= L - local_tok))
+    # decode band: sink tokens + the last band_local tokens only
+    s_valid = s_valid & (
+        (slot_token < band_sink) | (slot_token >= L - band_local)
+    )
     valid_s = jnp.broadcast_to(
         s_valid[:, None, :], (b, hkv, s_valid.shape[1])
     )
@@ -342,11 +358,16 @@ def paged_prefill_attention(
     head_is_retrieval=None,
     sink_size: int = 0,
     local_size: int = 0,
+    kv_positions: Optional[jnp.ndarray] = None,  # [B, max_blocks*page]
 ) -> jnp.ndarray:
     """Chunked-prefill attention: queries attend CAUSALLY over the paged
     pool (history + the current chunk, which the caller appends before
     calling). jnp reference for the Pallas kernel; per-q-head streaming
     (sink+local band) masks supported like the flash prefill path.
+
+    ``kv_positions`` overrides the identity position map (needed when the
+    "pool" is the streaming ring: rows hold non-sequential positions; see
+    paged_kv.ring_token_positions). -1 marks invalid rows.
 
     The reference has no paged prefill (it runs flash over the whole
     in-register prompt and only chunks the MLP, llama_w4a8_unpad.py:89-112);
@@ -369,10 +390,14 @@ def paged_prefill_attention(
         vf = _repeat_kv(v.astype(jnp.float32), n_rep)
         qf = q[i].astype(jnp.float32)                   # [Tq, Hq, D]
         logits = jnp.einsum("qhd,khd->hqk", qf, kf) * sm_scale
-        kv_pos = jnp.arange(t_kv)
+        if kv_positions is None:
+            kv_pos = jnp.arange(t_kv)
+        else:
+            kv_pos = kv_positions[i]
         qpos = q_positions[i]
         mask = (
             (kv_pos[None, :] <= qpos[:, None])
+            & (kv_pos[None, :] >= 0)
             & (kv_pos[None, :] < context_lens[i])
             & (qpos[:, None] >= 0)
         )                                              # [Tq, t_kv]

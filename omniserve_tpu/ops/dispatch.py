@@ -77,7 +77,12 @@ def append_kv_decode(pool, layer, k, v, page_ids, slots, page_size,
 
 
 def paged_prefill_attention(*args, **kwargs):
-    """Chunked-prefill attention over the paged pool."""
+    """Chunked-prefill attention over the paged pool.
+
+    Streaming-ring sources pass ``sel_logic`` + ``ring_span_pages`` +
+    ``ring_sink_tokens``; the jnp reference consumes them as an explicit
+    per-row position map instead.
+    """
     if _on_tpu():
         try:
             from omniserve_tpu.ops.pallas import paged_prefill
@@ -85,4 +90,16 @@ def paged_prefill_attention(*args, **kwargs):
             return paged_prefill.paged_prefill_attention(*args, **kwargs)
         except ImportError:
             pass
+    sel_logic = kwargs.pop("sel_logic", None)
+    ring_span = kwargs.pop("ring_span_pages", 0)
+    ring_sink = kwargs.pop("ring_sink_tokens", 0)
+    if sel_logic is not None and ring_span:
+        from omniserve_tpu.ops.paged_kv import ring_token_positions
+
+        page_size = kwargs.get("page_size") or args[7]
+        context_lens = kwargs.get("context_lens") or args[5]
+        kwargs["kv_positions"] = ring_token_positions(
+            context_lens, sel_logic.shape[1], ring_sink // page_size,
+            ring_span, page_size,
+        )
     return attention_ref.paged_prefill_attention(*args, **kwargs)

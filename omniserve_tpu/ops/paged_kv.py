@@ -211,6 +211,61 @@ def _quantize_kv(
     return q, None, None
 
 
+def ring_logical_blocks(
+    context_lens: jnp.ndarray,   # [B] tokens
+    n_slots: int,
+    sink_blocks: int,
+    local_blocks: int,
+    page_size: int,
+) -> jnp.ndarray:
+    """Logical block id currently held by each streaming-ring slot.
+
+    The ring maps logical block b -> slot ``sink + (b - sink) % local``
+    (reference kvCacheUtils.h:117-133); this inverts it: slot s holds the
+    LARGEST logical block <= the current block that maps to s, or -1 if
+    the slot has not been written yet. Returns [B, n_slots] int32.
+    """
+    cb = (context_lens[:, None] - 1) // page_size          # [B, 1]
+    slots = jnp.arange(n_slots, dtype=jnp.int32)[None, :]  # [1, S]
+    sink_logic = jnp.where(slots <= cb, slots, -1)
+    raw = cb - jnp.mod(cb - slots, max(local_blocks, 1))
+    ring_logic = jnp.where(
+        (cb >= sink_blocks) & (raw >= sink_blocks), raw, -1
+    )
+    out = jnp.where(slots < sink_blocks, sink_logic, ring_logic)
+    return jnp.where(context_lens[:, None] > 0, out, -1).astype(jnp.int32)
+
+
+def ring_token_positions(
+    context_lens: jnp.ndarray,   # [B] tokens
+    n_slots: int,
+    sink_blocks: int,
+    local_blocks: int,
+    page_size: int,
+) -> jnp.ndarray:
+    """Token position held by every row of the streaming ring, or -1.
+
+    Token-granular inverse of the ring mapping: the current ring page's
+    rows past the write head still hold last-wrap tokens. Returns
+    [B, n_slots*page_size] int32 (slot-major row order).
+    """
+    logic = ring_logical_blocks(
+        context_lens, n_slots, sink_blocks, local_blocks, page_size
+    )                                                      # [B, S]
+    off = jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
+    pos = logic[:, :, None] * page_size + off              # [B, S, page]
+    L = context_lens[:, None, None]
+    cb = (L - 1) // page_size
+    stale = (logic[:, :, None] == cb) & (off > (L - 1) % page_size)
+    pos = jnp.where(stale, pos - local_blocks * page_size, pos)
+    sink_tok = sink_blocks * page_size
+    ok = (logic[:, :, None] >= 0) & (pos < L) & (
+        jnp.where(stale, pos >= sink_tok, pos >= 0)
+    )
+    pos = jnp.where(ok, pos, -1)
+    return pos.reshape(pos.shape[0], n_slots * page_size)
+
+
 def kv4_slot_to_row_nibble(slot, page_size: int):
     """Token slot within a page -> (byte_row, is_high_nibble) for kv4.
 

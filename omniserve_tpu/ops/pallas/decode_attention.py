@@ -69,6 +69,7 @@ def _sp_kernel(
     sel_phys_ref,   # [B, Tp] i32: layer-folded physical page index
     sel_logic_ref,  # [B, Tp] i32 logical page (-1 = pad)
     lengths_ref,    # [B] i32
+    win_ref,        # [B] i32 band window start (unused when band off)
     pt_ref,         # [2] f32 per-tensor scales (dummy when fine-grained)
     # blocks
     q_ref,          # [1, H, n_rep, D]
@@ -90,6 +91,9 @@ def _sp_kernel(
     n_chunks: int,
     g: int,
     n_heads: int,
+    band_sink: int,
+    ring_span: int = 0,       # ring capacity in pages (streaming calls)
+    ring_sink_tok: int = 0,   # first ring-block position (tokens)
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -159,7 +163,22 @@ def _sp_kernel(
     logic = jnp.full_like(lane, -1)
     for p in range(g):
         logic = jnp.where(p_of == p, sel_logic_ref[b, j * g + p], logic)
-    valid = (logic >= 0) & (logic * page_size + tok < length)
+    pos = logic * page_size + tok
+    if band_sink >= 0 and ring_span > 0:
+        # Token-level ring: rows of the CURRENT ring page past the write
+        # head still hold tokens from one wrap earlier (still inside the
+        # local window) — re-label their positions instead of masking.
+        cb = (length - 1) // page_size
+        stale = (logic == cb) & (tok > jax.lax.rem(length - 1, page_size))
+        pos = jnp.where(stale, pos - ring_span * page_size, pos)
+        floor = jnp.where(stale, ring_sink_tok, 0)
+    else:
+        floor = 0
+    valid = (logic >= 0) & (pos < length) & (pos >= floor)
+    if band_sink >= 0:
+        # streaming decode band: sink tokens + the last dec-local window
+        # (reference MMHA streaming-head semantics at token granularity)
+        valid = valid & ((pos < band_sink) | (pos >= win_ref[b]))
 
     # shared page lists fill in order: chunk live iff its first page is
     any_valid = sel_logic_ref[b, j * g] >= 0
@@ -291,9 +310,17 @@ def paged_mqa_attention_single_pass(
     page_size: int,
     kv_zeros: bool,
     pt_scales=None,
+    band_sink_tokens: int = -1,
+    band_local_tokens: int = 0,
+    ring_span_pages: int = 0,
+    ring_sink_tokens: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """kv4 decode attention reading pages straight from the pool in HBM."""
+    """kv4 decode attention reading pages straight from the pool in HBM.
+
+    ``band_sink_tokens >= 0`` enables the streaming decode band: only
+    positions < band_sink_tokens or >= length - band_local_tokens are
+    attended (the ring may hold a larger window for chunked prefill)."""
     b, hkv, n_rep, d = q.shape
     bk = page_size // 4
     tp = sel_logic.shape[-1]
@@ -331,6 +358,10 @@ def paged_mqa_attention_single_pass(
             jnp.asarray(pt_scales[1], jnp.float32),
         ])
 
+    win_start = jnp.maximum(
+        0, lengths.astype(jnp.int32) - int(band_local_tokens)
+    )
+
     kernel = functools.partial(
         _sp_kernel,
         sm_scale=sm_scale,
@@ -339,9 +370,12 @@ def paged_mqa_attention_single_pass(
         n_chunks=n_chunks,
         g=g,
         n_heads=hkv,
+        band_sink=int(band_sink_tokens),
+        ring_span=int(ring_span_pages),
+        ring_sink_tok=int(ring_sink_tokens),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, hkv, n_rep, d),
@@ -374,4 +408,4 @@ def paged_mqa_attention_single_pass(
         ),
         interpret=interpret,
     )(phys_folded, sel_logic.astype(jnp.int32),
-      lengths.astype(jnp.int32), pt_arr, q, sc, k_flat, v_flat)
+      lengths.astype(jnp.int32), win_start, pt_arr, q, sc, k_flat, v_flat)

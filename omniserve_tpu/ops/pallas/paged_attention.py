@@ -59,6 +59,7 @@ def _mqa_kernel(
     # scalar prefetch
     sel_logic_ref,  # [B, T] or [B, H, T] int32 logical page (-1 = padding)
     lengths_ref,    # [B] int32
+    win_ref,        # [B] int32 band window start (unused when band off)
     pt_ref,         # [2] f32 per-tensor (k, v) scales (dummy when unused)
     # blocks
     q_ref,          # [1, H, n_rep, D]
@@ -79,6 +80,9 @@ def _mqa_kernel(
     pages_per_chunk: int,
     per_head_sel: bool,
     n_heads: int,
+    band_sink: int = -1,
+    ring_span: int = 0,
+    ring_sink_tok: int = 0,
 ):
     """One grid step = one sequence x one page chunk x ALL kv heads.
 
@@ -124,7 +128,22 @@ def _mqa_kernel(
         for i in range(g):
             logic_lane = jnp.where(page_of == i, vals[i], logic_lane)
         pos = logic_lane * page_size + within
-        return (logic_lane >= 0) & (pos < length)      # [1, G*page]
+        if band_sink >= 0 and ring_span > 0:
+            # token-level ring: the current ring page's tail rows hold
+            # last-wrap tokens (still inside the window) — re-label them
+            cb = (length - 1) // page_size
+            stale = (logic_lane == cb) & (
+                within > jax.lax.rem(length - 1, page_size)
+            )
+            pos = jnp.where(stale, pos - ring_span * page_size, pos)
+            floor = jnp.where(stale, ring_sink_tok, 0)
+        else:
+            floor = 0
+        m = (logic_lane >= 0) & (pos < length) & (pos >= floor)
+        if band_sink >= 0:
+            # streaming decode band: sink + last dec-local window only
+            m = m & ((pos < band_sink) | (pos >= win_ref[b]))
+        return m
 
     shared_mask = None if per_head_sel else chunk_mask(0)
 
@@ -245,9 +264,18 @@ def paged_mqa_attention(
     kv_zeros: bool,
     pt_scales=None,
     pages_per_chunk: int = 8,
+    band_sink_tokens: int = -1,
+    band_local_tokens: int = 0,
+    ring_span_pages: int = 0,
+    ring_sink_tokens: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Single-query attention over pre-gathered pages -> [B,Hkv,n_rep,D]."""
+    """Single-query attention over pre-gathered pages -> [B,Hkv,n_rep,D].
+
+    ``band_sink_tokens >= 0`` enables the streaming decode band (only
+    positions < sink or >= length - band_local attended); sel_logic must
+    then hold true logical page ids (ring slots resolved by the caller).
+    """
     b, hkv, n_rep, d = q.shape
     del k_z, v_s, v_z  # merged into k_s = kv_scales [B, T, H, 4, page]
     per_head_sel = sel_logic.ndim == 3
@@ -319,14 +347,14 @@ def paged_mqa_attention(
     if per_head_sel:
         # [B, H, T, rows, D]: contiguous page blocks per head
         data_spec = pl.BlockSpec(
-            (1, hkv, g, rows, d), lambda b_, j_, sl, ln, pt:
+            (1, hkv, g, rows, d), lambda b_, j_, *pref:
             (b_, 0, j_, 0, 0)
         )
     else:
         # page-major [B, T, H, rows, D] (the fast single-axis gather
         # layout); one fully-contiguous 256 KB block per step
         data_spec = pl.BlockSpec(
-            (1, g, hkv, rows, d), lambda b_, j_, sl, ln, pt:
+            (1, g, hkv, rows, d), lambda b_, j_, *pref:
             (b_, j_, 0, 0, 0)
         )
     # scales flattened to [B, H, 4, nc*G*page] in kernel lane order; chunk
@@ -335,11 +363,11 @@ def paged_mqa_attention(
     gp = g * page_size
     scale_spec = pl.BlockSpec(
         (1, hkv, 4, gp),
-        lambda b_, j_, sl, ln, pt: (b_, 0, 0, j_)
+        lambda b_, j_, *pref: (b_, 0, 0, j_)
     )
 
     in_specs = [
-        pl.BlockSpec((1, hkv, n_rep, d), lambda b_, j_, sl, ln, pt:
+        pl.BlockSpec((1, hkv, n_rep, d), lambda b_, j_, *pref:
                      (b_, 0, 0, 0)),
         data_spec, data_spec,
     ]
@@ -351,7 +379,7 @@ def paged_mqa_attention(
         dummy = jnp.zeros((1, hkv, 4, gp), jnp.float32)
         zero_spec = pl.BlockSpec(
             (1, hkv, 4, gp),
-            lambda b_, j_, sl, ln, pt: (0,) * 4
+            lambda b_, j_, *pref: (0,) * 4
         )
         in_specs += [zero_spec]
         inputs += [dummy]
@@ -363,6 +391,9 @@ def paged_mqa_attention(
             jnp.asarray(pt_scales[0], jnp.float32),
             jnp.asarray(pt_scales[1], jnp.float32),
         ])
+    win_start = jnp.maximum(
+        0, lengths.astype(jnp.int32) - int(band_local_tokens)
+    )
     kernel = functools.partial(
         _mqa_kernel,
         sm_scale=sm_scale,
@@ -373,14 +404,17 @@ def paged_mqa_attention(
         pages_per_chunk=g,
         per_head_sel=per_head_sel,
         n_heads=hkv,
+        band_sink=int(band_sink_tokens),
+        ring_span=int(ring_span_pages),
+        ring_sink_tok=int(ring_sink_tokens),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, n_chunks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, hkv, n_rep, d),
-            lambda b_, j_, sl, ln, pt: (b_, 0, 0, 0),
+            lambda b_, j_, *pref: (b_, 0, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((hkv * n_rep, 128), jnp.float32),  # m
@@ -396,8 +430,8 @@ def paged_mqa_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(sel_logic.astype(jnp.int32), lengths.astype(jnp.int32), pt_arr,
-      *inputs)
+    )(sel_logic.astype(jnp.int32), lengths.astype(jnp.int32), win_start,
+      pt_arr, *inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +521,8 @@ def paged_decode_attention(
     sink_blocks: int = 0,
     local_blocks: int = 0,
     page_idxes: Optional[jnp.ndarray] = None,
+    dec_sink_tokens: Optional[int] = None,
+    dec_local_tokens: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in Pallas replacement for attention_ref.paged_decode_attention."""
@@ -569,24 +605,36 @@ def paged_decode_attention(
         return out_full_r.reshape(b, hq, d)
 
     # -- streaming ring pool call --
+    # Ring slots are resolved to their LOGICAL block ids so positions are
+    # true token positions; the (dec sink, dec local) band then attends
+    # exactly the reference streaming window even when the ring is larger
+    # (chunked sparse prefill sizes it for the ctx-local window).
+    from omniserve_tpu.ops.paged_kv import ring_logical_blocks
+
     hs = streaming_pool.num_heads
     src_s = _pool_head_sources(head_rank, head_is_retrieval, hs, False)
     q_s = q_g[:, src_s]
     n_slots = streaming_block_tables.shape[1]
-    window = (sink_blocks + local_blocks) * page_size
-    eff_len = jnp.minimum(context_lens, window)       # slot-space length
-    tile = jnp.arange(n_slots)
-    n_slot_pages = (eff_len + page_size - 1) // page_size
-    sel_logic_s = jnp.where(
-        tile[None, :] < n_slot_pages[:, None], tile[None, :], -1
+    ring_local = max(1, n_slots - sink_blocks)
+    if dec_sink_tokens is None:
+        dec_sink_tokens = sink_blocks * page_size
+    if dec_local_tokens is None:
+        dec_local_tokens = local_blocks * page_size
+    sel_logic_s = ring_logical_blocks(
+        context_lens, n_slots, sink_blocks, ring_local, page_size
     )                                                 # [B, n_slots]
     sel_phys_s = jnp.where(sel_logic_s >= 0, streaming_block_tables, 0)
     if use_sp:
         out_s = sp.paged_mqa_attention_single_pass(
             q_s, streaming_pool, layer, sel_phys_s, sel_logic_s,
-            eff_len.astype(jnp.int32),
+            context_lens.astype(jnp.int32),
             sm_scale=sm_scale, page_size=page_size, kv_zeros=kv_zeros,
-            pt_scales=pt_of(streaming_pool), interpret=interpret,
+            pt_scales=pt_of(streaming_pool),
+            band_sink_tokens=int(dec_sink_tokens),
+            band_local_tokens=int(dec_local_tokens),
+            ring_span_pages=ring_local,
+            ring_sink_tokens=sink_blocks * page_size,
+            interpret=interpret,
         )
     else:
         g_s = _choose_chunk(sel_logic_s.shape[-1])
@@ -597,10 +645,14 @@ def paged_decode_attention(
         out_s = paged_mqa_attention(
             q_s, kd, vd, ksc, None, None, None,
             sel_logic_s.astype(jnp.int32),
-            eff_len.astype(jnp.int32),
+            context_lens.astype(jnp.int32),
             pages_per_chunk=g_s,
             sm_scale=sm_scale, page_size=page_size, kv_bits=kv_bits,
             kv_zeros=kv_zeros, pt_scales=pt_of(streaming_pool),
+            band_sink_tokens=int(dec_sink_tokens),
+            band_local_tokens=int(dec_local_tokens),
+            ring_span_pages=ring_local,
+            ring_sink_tokens=sink_blocks * page_size,
             interpret=interpret,
         )
     rank_s = jnp.clip(head_rank, 0, hs - 1)

@@ -64,6 +64,8 @@ def _prefill_kernel(
     sink_size: int,
     local_size: int,
     sparse_heads: bool,
+    ring_span: int = 0,
+    ring_sink_tok: int = 0,
 ):
     b = pl.program_id(0)
     qt = pl.program_id(1)
@@ -97,7 +99,18 @@ def _prefill_kernel(
     for i in range(g):
         logic_lane = jnp.where(page_of == i, logic_vals[i], logic_lane)
     kv_pos = logic_lane * page_size + within
-    kv_ok = (logic_lane >= 0) & (kv_pos < length)     # [1, G*page]
+    if ring_span > 0:
+        # streaming ring source: the current ring page's tail rows hold
+        # last-wrap tokens — re-label their positions
+        cb = (length - 1) // page_size
+        stale = (logic_lane == cb) & (
+            within > jax.lax.rem(length - 1, page_size)
+        )
+        kv_pos = jnp.where(stale, kv_pos - ring_span * page_size, kv_pos)
+        floor = jnp.where(stale, ring_sink_tok, 0)
+    else:
+        floor = 0
+    kv_ok = (logic_lane >= 0) & (kv_pos < length) & (kv_pos >= floor)
 
     # query positions per row (rows = tq * n_rep, position repeats n_rep x)
     n_rep = q_ref.shape[3]
@@ -111,12 +124,12 @@ def _prefill_kernel(
         band = (kv_pos < sink_size) | (q_pos - kv_pos < local_size)
 
     # skip chunks entirely above the causal diagonal or past the length
+    # (ring sources skip only on emptiness: stale rows hold positions far
+    # below their page label, so the diagonal test would over-skip)
     min_kv = jnp.stack(logic_vals).min() * page_size
-    any_needed = (
-        (jnp.stack(logic_vals).max() >= 0)
-        & (min_kv <= q_start + tq - 1)
-        & (q_count > 0)
-    )
+    any_needed = (jnp.stack(logic_vals).max() >= 0) & (q_count > 0)
+    if ring_span == 0:
+        any_needed = any_needed & (min_kv <= q_start + tq - 1)
 
     @pl.when(any_needed)
     def _compute():
@@ -230,23 +243,32 @@ def paged_prefill_attention(
     sink_size: int = 0,
     local_size: int = 0,
     tile_q: int = 64,
+    sel_logic: Optional[jnp.ndarray] = None,   # [B, n_slots] override
+    ring_span_pages: int = 0,
+    ring_sink_tokens: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Causal multi-query attention over the paged pool (history + chunk).
 
     ``q_positions`` rows must be ``start + arange(count)`` then -1 padding
-    (the packed chunk layout the model runner produces).
+    (the packed chunk layout the model runner produces). ``sel_logic``
+    overrides the dense page list with explicit logical page ids (the
+    streaming-ring source: slot s holds block sel_logic[b, s]); with
+    ``ring_span_pages`` set the kernel re-labels the current ring page's
+    stale tail rows to their last-wrap positions.
     """
     b, tq_total, hq, d = q.shape
     hkv = pool.num_heads
     n_rep = hq // hkv
     max_blocks = block_tables.shape[1]
 
-    # page list: all pages holding < context_lens tokens
-    n_pages = (context_lens + page_size - 1) // page_size
-    tile = jnp.arange(max_blocks)
-    sel_logic = jnp.where(tile[None, :] < n_pages[:, None], tile[None, :],
-                          -1)
+    if sel_logic is None:
+        # page list: all pages holding < context_lens tokens
+        n_pages = (context_lens + page_size - 1) // page_size
+        tile = jnp.arange(max_blocks)
+        sel_logic = jnp.where(
+            tile[None, :] < n_pages[:, None], tile[None, :], -1
+        )
     sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
     g = _choose_chunk(sel_logic.shape[-1])
     sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g)
@@ -333,6 +355,8 @@ def paged_prefill_attention(
         sink_size=int(sink_size),
         local_size=int(local_size),
         sparse_heads=sparse,
+        ring_span=int(ring_span_pages),
+        ring_sink_tok=int(ring_sink_tokens),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

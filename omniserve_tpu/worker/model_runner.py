@@ -405,6 +405,64 @@ class ModelRunner:
         return np.asarray(ids)
 
     # -- multi-step decode (static batch, greedy) ----------------------------
+    def start_multi_step(
+        self,
+        metadata: List[SequenceGroupMetadata],
+        n_steps: int,
+        pos_offset: int = 0,
+        carry_tokens=None,
+    ) -> dict:
+        """Launch an ``n_steps`` greedy decode window (async, no fetch).
+
+        ``pos_offset``/``carry_tokens`` let the engine launch the NEXT
+        window before draining the current one: host sequence state is
+        then one window behind, so positions are advanced by the in-flight
+        window's length and the starting token ids come from the previous
+        window's DEVICE output (no host round-trip on the critical path).
+        """
+        ce = self.cache_engine
+        batch, seq_ids, slots, _ = self._prepare_decode(metadata)
+        if pos_offset:
+            batch = batch._replace(positions=batch.positions + pos_offset)
+        if carry_tokens is not None:
+            batch = batch._replace(token_ids=carry_tokens)
+        fn = self._multi_step_fns(n_steps)
+        tokens, rpool, spool, new_sel = fn(
+            self.params, ce.retrieval_pool, ce.streaming_pool, batch
+        )
+        ce.set_pools(rpool, spool)
+        if new_sel is not None:
+            self._cached_page_idxes = new_sel
+        self._decode_steps += n_steps
+        return {
+            "tokens": tokens,      # device [n_steps, B]
+            "metadata": metadata,
+            "slots": slots,
+            "n_steps": n_steps,
+        }
+
+    def multi_step_carry(self, handle: dict):
+        """Device [B] token ids at the end of an in-flight window."""
+        return handle["tokens"][handle["n_steps"] - 1]
+
+    def finish_multi_step(self, handle: dict) -> List[SamplerOutput]:
+        """Fetch a window's tokens and shape them into per-step outputs."""
+        toks = np.asarray(handle["tokens"])  # [n_steps, B]
+        slots = handle["slots"]
+        outputs: List[SamplerOutput] = []
+        for i in range(handle["n_steps"]):
+            step_out: SamplerOutput = []
+            row = toks[i][slots]
+            k = 0
+            for group in handle["metadata"]:
+                samples = []
+                for seq_id in group.seq_data:
+                    samples.append(SequenceOutput(seq_id, int(row[k])))
+                    k += 1
+                step_out.append(SequenceGroupOutput(samples))
+            outputs.append(step_out)
+        return outputs
+
     def execute_model_multi_step(
         self, metadata: List[SequenceGroupMetadata], n_steps: int
     ) -> List[SamplerOutput]:
@@ -414,30 +472,7 @@ class ModelRunner:
         ``n_steps`` future tokens (engine reserves them). Amortizes per-step
         host prep and the device->host token sync across the whole window.
         """
-        ce = self.cache_engine
-        batch, seq_ids, slots, _ = self._prepare_decode(metadata)
-        fn = self._multi_step_fns(n_steps)
-        tokens, rpool, spool, new_sel = fn(
-            self.params, ce.retrieval_pool, ce.streaming_pool, batch
-        )
-        ce.set_pools(rpool, spool)
-        if new_sel is not None:
-            self._cached_page_idxes = new_sel
-        self._decode_steps += n_steps
-        toks = np.asarray(tokens)  # [n_steps, B]
-        outputs: List[SamplerOutput] = []
-        for i in range(n_steps):
-            step_out: SamplerOutput = []
-            row = toks[i][slots]
-            k = 0
-            for group in metadata:
-                samples = []
-                for seq_id in group.seq_data:
-                    samples.append(SequenceOutput(seq_id, int(row[k])))
-                    k += 1
-                step_out.append(SequenceGroupOutput(samples))
-            outputs.append(step_out)
-        return outputs
+        return self.finish_multi_step(self.start_multi_step(metadata, n_steps))
 
     @functools.lru_cache(maxsize=8)
     def _multi_step_fns(self, n_steps: int):
@@ -508,22 +543,31 @@ class ModelRunner:
                     seq_id,
                     data.get_token_ids(),
                     group.block_tables[seq_id],
+                    (group.streaming_block_tables or {}).get(seq_id, []),
                 ))
         bsz = len(seqs)
         b_pad = next_pow2(bsz, minimum=1)
         page = self.spec.page_size
         tc = max(page, (budget // b_pad) // page * page)
+        if ce.streaming_pool is not None:
+            # the ring must hold ctx_local + one chunk; clamp the chunk
+            ring_tok = self.spec.local_blocks * page
+            tc = min(tc, max(page, (ring_tok - self.spec.ctx_local)
+                             // page * page))
         max_len = max(len(x[1]) for x in seqs)
         n_chunks = -(-max_len // tc)
         w = next_pow2(max(len(x[2]) for x in seqs), minimum=4)
         bt = np.zeros((b_pad, w), np.int32)
         full_lens = np.zeros(b_pad, np.int32)
+        sw = max(1, self.spec.sink_blocks + self.spec.local_blocks)
+        st = np.zeros((b_pad, sw), np.int32)
         for i, x in enumerate(seqs):
             bt[i, : len(x[2])] = x[2]
             full_lens[i] = len(x[1])
+            stbl = x[3]
+            st[i, : min(len(stbl), sw)] = stbl[:sw]
         bt_dev = jnp.asarray(bt)
-        sw = max(1, self.spec.sink_blocks + self.spec.local_blocks)
-        st_dev = jnp.zeros((b_pad, sw), jnp.int32)
+        st_dev = jnp.asarray(st)
 
         merge = jax.jit(lambda a, b, m: jnp.where(m[:, None], b, a))
         final_logits = None
@@ -535,7 +579,7 @@ class ModelRunner:
             last_idx = np.zeros(b_pad, np.int32)
             ends = np.zeros(b_pad, bool)
             new_pages: List[int] = []
-            for i, (seq_id, ids, tbl) in enumerate(seqs):
+            for i, (seq_id, ids, tbl, _stbl) in enumerate(seqs):
                 lo = ci * tc
                 hi = min(len(ids), lo + tc)
                 if hi <= lo:
@@ -593,14 +637,15 @@ class ModelRunner:
             chunk_budget = getattr(
                 self.scheduler_config, "chunk_prefill_size", 32000
             )
-            # The chunked path routes ALL q heads over the retrieval pool;
-            # with a streaming pool present (enable_streaming, independent
-            # of sparse_context_mode) that would mis-group GQA heads —
-            # gate on BOTH until the sparse chunked path handles head
-            # routing (see _execute_chunked_prefill).
-            if (total_tokens > chunk_budget
-                    and not self.spec.sparse_prefill
-                    and ce.streaming_pool is None):
+            # Streaming configs need the ring to retain the ctx-local
+            # window across chunks (DecAttnConfig.ring_local_blocks); if
+            # the ring is too small (legacy sizing), fall back to the
+            # in-register flash path.
+            ring_ok = ce.streaming_pool is None or (
+                self.spec.local_blocks * self.spec.page_size
+                >= self.spec.ctx_local + self.spec.page_size
+            )
+            if total_tokens > chunk_budget and ring_ok:
                 logits, seq_ids, n_seqs = self._execute_chunked_prefill(
                     metadata, chunk_budget
                 )

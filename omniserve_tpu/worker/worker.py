@@ -59,6 +59,19 @@ class Worker:
             seq_group_metadata_list, n_steps
         )
 
+    def start_multi_step(self, seq_group_metadata_list, n_steps,
+                         pos_offset=0, carry_tokens=None):
+        return self.model_runner.start_multi_step(
+            seq_group_metadata_list, n_steps, pos_offset=pos_offset,
+            carry_tokens=carry_tokens,
+        )
+
+    def finish_multi_step(self, handle):
+        return self.model_runner.finish_multi_step(handle)
+
+    def multi_step_carry(self, handle):
+        return self.model_runner.multi_step_carry(handle)
+
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],

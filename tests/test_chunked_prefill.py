@@ -87,3 +87,54 @@ def test_quantized_chunked_first_token(tiny_model_dir):
     want = _run(tiny_model_dir, 32000, prompts, gen=1, precision="w4a8kv4")
     got = _run(tiny_model_dir, 64, prompts, gen=1, precision="w4a8kv4")
     assert want["r0"] == got["r0"]
+
+
+def _run_sparse(tiny_model_dir, chunk_prefill_size, prompts, gen=4):
+    """Streaming + sparse-context config (w16a16kv16 for exactness)."""
+    args = EngineArgs(
+        model=tiny_model_dir,
+        precision="w16a16kv16",
+        load_format="dummy",
+        block_size=16,
+        max_num_seqs=8,
+        max_num_batched_tokens=8192,
+        num_retrieval_blocks=128,
+        chunk_prefill_size=chunk_prefill_size,
+        sparse_context_mode=True,
+        sparse_decode_mode=True,
+        static_sparsity=0.5,
+        ctx_sink_size=16,
+        ctx_local_size=64,
+        dec_sink_size=16,
+        dec_local_size=32,
+        sparse_kv_cache_budget=64,
+        max_model_len=1024,
+    )
+    engine = LLMEngine.from_engine_args(args)
+    for i, p in enumerate(prompts):
+        engine.add_request(
+            f"r{i}", prompt_token_ids=p,
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=gen,
+                                           ignore_eos=True),
+        )
+    outs = {}
+    steps = 0
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = o.outputs[0].token_ids
+        steps += 1
+        assert steps < 80
+    return outs
+
+
+def test_sparse_chunked_matches_single_shot(tiny_model_dir):
+    """LServe config: chunked prefill with dual-pool head routing must
+    match the single-shot flash path (streaming band + retrieval dense)."""
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 255, size=n).tolist() for n in (200, 120)]
+    want = _run_sparse(tiny_model_dir, 32000, prompts)   # single shot
+    got = _run_sparse(tiny_model_dir, 96, prompts)       # chunked
+    assert want.keys() == got.keys()
+    for k in want:
+        assert want[k] == got[k], f"{k}: {want[k]} vs {got[k]}"
