@@ -2,7 +2,9 @@
 
 Same metric suite as the reference ``eval/LongBench/metrics.py``:
 qa_f1, rouge-l, classification accuracy, retrieval/count accuracy,
-code similarity (reference metrics.py:111-153).
+code similarity, and the Chinese-task variants (jieba word segmentation
+when available, character segmentation otherwise)
+(reference metrics.py:25-153).
 """
 
 from __future__ import annotations
@@ -12,12 +14,34 @@ import string
 from collections import Counter
 from typing import List
 
+_CN_PUNCT = (
+    "！？｡。＂＃＄％＆＇（）＊＋，－／：；＜＝＞＠［＼］＾＿｀｛｜｝～｟｠｢｣､、〃》「」『』"
+    "【】〔〕〖〗〘〙〚〛〜〝〞〟〰〾〿–—‘’‛“”„‟…‧﹏."
+)
+
+
+def _zh_cut(text: str) -> List[str]:
+    try:
+        import jieba
+
+        return list(jieba.cut(text, cut_all=False))
+    except ImportError:  # pragma: no cover
+        return list(text)
+
 
 def normalize_answer(s: str) -> str:
     s = s.lower()
     s = "".join(ch for ch in s if ch not in set(string.punctuation))
     s = re.sub(r"\b(a|an|the)\b", " ", s)
     return " ".join(s.split())
+
+
+def normalize_zh_answer(s: str) -> str:
+    """Lowercase, strip (cn + ascii) punctuation and whitespace
+    (reference metrics.py:32-45)."""
+    punct = set(string.punctuation + _CN_PUNCT)
+    return "".join(ch for ch in s.lower() if ch not in punct and
+                   not ch.isspace())
 
 
 def _f1(pred_tokens: List[str], gold_tokens: List[str]) -> float:
@@ -99,6 +123,39 @@ def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:
     return _f1(p, g)
 
 
+def qa_f1_zh_score(prediction: str, ground_truth: str, **kw) -> float:
+    p = [normalize_zh_answer(t) for t in _zh_cut(prediction)]
+    g = [normalize_zh_answer(t) for t in _zh_cut(ground_truth)]
+    p = [t for t in p if t]
+    g = [t for t in g if t]
+    if not p or not g:
+        return float(p == g)
+    return _f1(p, g)
+
+
+def rouge_zh_score(prediction: str, ground_truth: str, **kw) -> float:
+    p = [t for t in _zh_cut(prediction) if t.strip()]
+    g = [t for t in _zh_cut(ground_truth) if t.strip()]
+    if not p or not g:
+        return 0.0
+    lcs = _lcs(p, g)
+    if lcs == 0:
+        return 0.0
+    prec, rec = lcs / len(p), lcs / len(g)
+    return 2 * prec * rec / (prec + rec)
+
+
+def retrieval_zh_score(prediction: str, ground_truth: str, **kw) -> float:
+    matches = re.findall(r"段落(\d+)", ground_truth)
+    if not matches:
+        return 0.0
+    gt = matches[0]
+    numbers = re.findall(r"\d+", prediction)
+    if not numbers:
+        return 0.0
+    return sum(1 for n in numbers if n == gt) / len(numbers)
+
+
 DATASET2METRIC = {
     "narrativeqa": qa_f1_score,
     "qasper": qa_f1_score,
@@ -116,4 +173,10 @@ DATASET2METRIC = {
     "passage_count": count_score,
     "lcc": code_sim_score,
     "repobench-p": code_sim_score,
+    # Chinese tasks (reference metrics.py mapping)
+    "multifieldqa_zh": qa_f1_zh_score,
+    "dureader": rouge_zh_score,
+    "vcsum": rouge_zh_score,
+    "lsht": classification_score,
+    "passage_retrieval_zh": retrieval_zh_score,
 }

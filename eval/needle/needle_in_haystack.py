@@ -30,6 +30,7 @@ QUESTION = (
     "What is the best thing to do in San Francisco? Answer based only on "
     "the context above."
 )
+_ESSAY_DIR = os.path.join(os.path.dirname(__file__), "PaulGrahamEssays")
 FILLER_SENTENCES = [
     "The quick brown fox jumps over the lazy dog near the riverbank. ",
     "Markets fluctuated modestly as investors awaited new economic data. ",
@@ -38,25 +39,64 @@ FILLER_SENTENCES = [
     "The committee postponed its decision until the following quarter. ",
 ]
 
+_corpus_cache = {}
+
+
+def _essay_corpus() -> str:
+    """The reference haystack: concatenated Paul Graham essays (the same
+    data assets eval/needle/PaulGrahamEssays ships)."""
+    if "text" not in _corpus_cache:
+        parts = []
+        if os.path.isdir(_ESSAY_DIR):
+            for name in sorted(os.listdir(_ESSAY_DIR)):
+                if name.endswith(".txt"):
+                    with open(os.path.join(_ESSAY_DIR, name),
+                              errors="ignore") as f:
+                        parts.append(f.read())
+        _corpus_cache["text"] = "\n".join(parts)
+    return _corpus_cache["text"]
+
 
 def build_haystack(tokenizer, context_len: int, depth_pct: float) -> str:
-    filler = ""
-    i = 0
-    # build filler to approximately context_len tokens
-    while len(tokenizer.encode(filler)) < context_len - 64:
-        filler += FILLER_SENTENCES[i % len(FILLER_SENTENCES)]
-        i += 1
+    corpus = _essay_corpus()
+    if corpus:
+        # generous char slice (~6 chars/token), then trim to token budget
+        head = corpus[: (context_len - 64) * 6]
+        ids = tokenizer.encode(head)[: context_len - 64]
+        filler = tokenizer.decode(ids)
+    else:  # no corpus shipped: synthetic filler fallback
+        filler = ""
+        i = 0
+        while len(tokenizer.encode(filler)) < context_len - 64:
+            filler += FILLER_SENTENCES[i % len(FILLER_SENTENCES)]
+            i += 1
     cut = int(len(filler) * depth_pct / 100.0)
-    # snap to sentence boundary
+    # snap to sentence boundary (reference insert_needle behavior)
     cut = filler.rfind(". ", 0, max(cut, 1)) + 2 if cut > 2 else 0
     return filler[:cut] + NEEDLE + " " + filler[cut:]
 
 
+try:
+    from rouge_score import rouge_scorer
+
+    _SCORER = rouge_scorer.RougeScorer(["rouge1"], use_stemmer=True)
+except ImportError:  # pragma: no cover
+    _SCORER = None
+
+
 def score_answer(answer: str) -> float:
-    """Keyword recall against the needle (simplified rouge-recall)."""
-    keywords = ["eat", "sandwich", "dolores", "park", "sunny"]
-    a = answer.lower()
-    return sum(1.0 for k in keywords if k in a) / len(keywords)
+    """rouge-1 f-measure vs the needle, scaled to [0, 10] like the
+    reference (needle_in_haystack.py:257)."""
+    if _SCORER is not None:
+        return _SCORER.score(NEEDLE, answer)["rouge1"].fmeasure * 10
+    ref = set(NEEDLE.lower().split())
+    hyp = answer.lower().split()
+    if not hyp:
+        return 0.0
+    overlap = sum(1 for w in hyp if w in ref)
+    p = overlap / len(hyp)
+    r = len(set(hyp) & ref) / len(ref)
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r) * 10
 
 
 def run_test(engine: LLMEngine, tokenizer, context_len: int,

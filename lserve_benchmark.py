@@ -61,7 +61,10 @@ def main() -> None:
             "NUM_RETRIEVAL_GPU_PAGE_BLOCKS" not in os.environ:
         blocks = (prompt_len + gen_len + args.block_size - 1) \
             // args.block_size + 1
-        args.num_retrieval_blocks = blocks * batch + 2
+        need = blocks * batch
+        # headroom must exceed the allocator's watermark (1% of the pool)
+        # or long prompts are refused as never-allocatable
+        args.num_retrieval_blocks = need + max(4, need // 50)
 
     engine = LLMEngine.from_engine_args(EngineArgs.from_cli_args(args))
     # warmup round (compilation)
@@ -69,8 +72,25 @@ def main() -> None:
     t_prefill, t_decode, steps = process_requests_split_stage(
         engine, batch, prompt_len, gen_len
     )
+
+    # -- sanity: reject physically impossible rows instead of logging them
+    min_decode_steps = gen_len - 1 if engine.ifb_config.ifb_mode else 1
+    if steps < min_decode_steps:
+        raise RuntimeError(
+            f"bogus measurement: only {steps} decode steps ran for "
+            f"gen_len={gen_len} — requests were ignored or finished early"
+        )
+    if t_prefill < batch * prompt_len * 1e-7:  # >10 Gtok/s is not real
+        raise RuntimeError(
+            f"bogus measurement: prefill of {batch * prompt_len} tokens "
+            f"in {t_prefill * 1e3:.2f} ms exceeds any physical bound"
+        )
     prefill_tps = batch * prompt_len / t_prefill
-    decode_tps = batch * max(steps - 1, 1) / t_decode
+    decode_tps = batch * max(gen_len - 1, 1) / t_decode
+    if decode_tps > 1e6 * batch:
+        raise RuntimeError(
+            f"bogus measurement: decode at {decode_tps:.0f} tok/s"
+        )
     device = jax.devices()[0].device_kind.replace(" ", "_")
     print(
         f"prefill {prompt_len} tok: {t_prefill:.2f}s ({prefill_tps:.0f} "

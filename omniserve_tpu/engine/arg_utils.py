@@ -180,16 +180,18 @@ class EngineArgs:
             )
         n_stream = self.num_streaming_blocks
         if n_stream is None:
+            if sp_attn_config and sp_attn_config.enable_streaming:
+                ring = (
+                    sp_attn_config.dec.sink_blocks
+                    + sp_attn_config.dec.ring_local_blocks
+                ) * self.max_num_seqs
+                # headroom must exceed the allocation watermark (1%)
+                default_stream = ring + max(4, ring // 50)
+            else:
+                default_stream = 0
             n_stream = int(
                 os.environ.get(
-                    "NUM_STREAMING_GPU_PAGE_BLOCKS",
-                    (
-                        (sp_attn_config.dec.sink_blocks
-                         + sp_attn_config.dec.ring_local_blocks + 1)
-                        * self.max_num_seqs
-                        if sp_attn_config and sp_attn_config.enable_streaming
-                        else 0
-                    ),
+                    "NUM_STREAMING_GPU_PAGE_BLOCKS", default_stream
                 )
             )
         swap_blocks = max(n_retr // 2, 1)

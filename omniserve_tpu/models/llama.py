@@ -845,8 +845,14 @@ def llama_forward(
     spec: LlamaSpec,
     is_prefill: bool,
     mlp_fn=_dense_mlp,
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, KVPool, Optional[KVPool], Optional[jnp.ndarray]]:
-    """Returns (last-token logits [B, V], pools..., new_page_idxes|None)."""
+    """Returns (last-token logits [B, V], pools..., new_page_idxes|None).
+
+    ``return_hidden=True`` returns the final-norm hidden states for ALL
+    tokens instead of last-token logits (teacher-forced evaluation —
+    perplexity harnesses apply the lm_head in vocab chunks themselves).
+    """
     h = params["embed"][batch.token_ids].astype(jnp.bfloat16)  # [T, D]
 
     if spec.with_stats:
@@ -890,6 +896,8 @@ def llama_forward(
     )
 
     h = rms_norm(h, params["final_ln"], spec.rms_eps)
+    if return_hidden:
+        return h, retrieval_pool, streaming_pool, None
     if is_prefill:
         h_last = h[batch.last_token_idx]  # [B, D]
     else:

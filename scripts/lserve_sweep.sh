@@ -1,0 +1,27 @@
+#!/bin/bash
+# LServe long-context sweep (reference scripts/lserve_benchmark/launch.sh
+# protocol: batch 1, prefill 4K-256K, decode 128, sparsity 0.5, ctx sink
+# 128 / local 8192, dec sink 128 / local 256, budget 4096, interval 4).
+# Precision defaults to the TPU build's headline w4a8kv4 fine-grained;
+# pass PRECISION=w8a8kv8 GRAN=per_tensor for the reference's exact dtypes
+# (fits up to ~128K on a 16 GB chip).
+set -e
+MODEL=${MODEL:-/tmp/llama3_8b_1048k_cfg}
+PRECISION=${PRECISION:-w4a8kv4}
+GRAN=${GRAN:-fine_grained}
+GEN=${GEN:-128}
+OUT=${OUT:-lserve_results_$(python -c 'import jax;print(jax.devices()[0].device_kind.replace(" ","_"))').csv}
+for LEN in ${LENS:-4096 16384 65536 131072 262144}; do
+  echo "=== prefill $LEN ==="
+  GLOBAL_BATCH_SIZE=1 GLOBAL_PROMPT_LEN=$LEN GLOBAL_GENERATE_LEN=$GEN \
+  python lserve_benchmark.py --model "$MODEL" --precision "$PRECISION" \
+    --kv-quant-granularity "$GRAN" --load-format dummy \
+    --sparse-context-mode --sparse-decode-mode --static-sparsity 0.5 \
+    --ctx-sink-size 128 --ctx-local-size 8192 \
+    --dec-sink-size 128 --dec-local-size 256 \
+    --sparse-kv-cache-budget 4096 --selector-update-interval 4 \
+    --block-size 128 --max-num-seqs 1 --max-model-len 262400 \
+    --no-ifb-mode --benchmarking-mode --decode-multi-step 32 \
+    --output "$OUT"
+done
+echo "results in $OUT"
