@@ -94,10 +94,12 @@ class ModelConfig:
             )
         self.hf_config = hf_config
         derived_max = getattr(hf_config, "max_position_embeddings", MAX_SEQ_LEN)
-        self.max_model_len = min(
-            max_model_len if max_model_len is not None else derived_max,
-            MAX_SEQ_LEN,
-        )
+        if max_model_len is not None:
+            # explicit user setting wins (256K LServe runs exceed the
+            # reference's global max_seq_len=65536 default cap)
+            self.max_model_len = max_model_len
+        else:
+            self.max_model_len = min(derived_max, MAX_SEQ_LEN)
 
     # -- HF config accessors (reference config.py:120-190) ----------------
     def get_hidden_size(self) -> int:

@@ -269,7 +269,12 @@ def page_selector_scores(
     b, hq, d = q.shape
     hkv = head_is_retrieval.shape[0]
     n_rep = hq // hkv
-    stats = k_stats[layer][block_tables]  # [B, max_b, Hr, n_sub*2, D]
+    # flat single-axis gather with the layer folded in — k_stats[layer]
+    # would dynamic-slice-copy the whole layer slab first
+    n_pages = k_stats.shape[1]
+    stats = k_stats.reshape((-1,) + k_stats.shape[2:])[
+        layer * n_pages + block_tables
+    ]                                     # [B, max_b, Hr, n_sub*2, D]
     kmin = stats[..., 0::2, :]
     kmax = stats[..., 1::2, :]
     qf = q.astype(jnp.float32).reshape(b, hkv, n_rep, d)
@@ -317,7 +322,12 @@ def select_topk_pages(
         NEG_INF,
     )
     k = min(budget_pages - 1, max_blocks)  # table may be narrower early on
-    top_scores, top_idx = jax.lax.top_k(scored, k)  # [B, Hkv, k]
+    # approx_max_k: TPU-native partial reduction — lax.top_k lowers to a
+    # full bitonic sort whose while-loops dominated long-context decode
+    # (~40 ms/step at 64K). Recall 0.99 on heuristic upper-bound scores.
+    top_scores, top_idx = jax.lax.approx_max_k(
+        scored, k, recall_target=0.99
+    )                                              # [B, Hkv, k]
     top_idx = jnp.where(top_scores > NEG_INF, top_idx, -1)
     sel = jnp.concatenate(
         [jnp.broadcast_to(newest[:, None, None], (b, hkv, 1)), top_idx],

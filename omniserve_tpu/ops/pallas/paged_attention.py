@@ -484,13 +484,18 @@ def _gather_pool(pool: KVPool, layer, sel_phys):
     per_head = sel_phys.ndim == 3
     n_pages = pool.k_data.shape[1]
     if per_head:
-        # dynamic-sparse: pages differ per head; 2-index gather (page, head)
-        # -> [B, H, T, ...]. Budget page lists are short, so the slower
-        # small-slice gather is acceptable here.
-        h_idx = jnp.arange(pool.k_data.shape[2])[None, :, None]
+        # dynamic-sparse: pages differ per head. Fold (layer, page, head)
+        # into ONE flat index over a [L*P*H, ...] view — multi-index-array
+        # gathers lower to slow small-slice gathers, single-axis gathers
+        # of contiguous [rows, D] slices run near HBM peak.
+        h_ = pool.k_data.shape[2]
+        h_idx = jnp.arange(h_)[None, :, None]
+        flat_idx = (layer * n_pages + sel_phys) * h_ + h_idx  # [B, H, T]
 
         def take(arr):
-            return None if arr is None else arr[layer, sel_phys, h_idx]
+            if arr is None:
+                return None
+            return arr.reshape((-1,) + arr.shape[3:])[flat_idx]
 
         return take(pool.k_data), take(pool.v_data), take(pool.kv_scales)
 

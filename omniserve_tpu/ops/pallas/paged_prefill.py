@@ -135,7 +135,9 @@ def _prefill_kernel(
     def _compute():
         for h in range(n_heads):
             if sparse_heads:
-                mask = jnp.where(flags_ref[h] == 1, causal, causal & band)
+                # scalar-pred jnp.where doesn't legalize in Mosaic;
+                # broadcast the head flag into the mask instead
+                mask = (causal & band) | (causal & (flags_ref[h] == 1))
             else:
                 mask = causal
             rs = slice(h * rows, (h + 1) * rows)
@@ -161,8 +163,8 @@ def _prefill_kernel(
                 ).astype(jnp.bfloat16)
 
             def scales(plane):
-                # [1, H, 4, nc, G*page]: chunk j indexed on dim 3
-                return sc_ref[0, h, plane, j][None, :]
+                # [1, H, 4, G*page]: chunk j selected by the BlockSpec
+                return sc_ref[0, h, plane][None, :]
 
             k_u = raw_block(k_ref)                    # [G*page, D]
             qk_int = jax.lax.dot_general(
@@ -270,7 +272,11 @@ def paged_prefill_attention(
             tile[None, :] < n_pages[:, None], tile[None, :], -1
         )
     sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
-    g = _choose_chunk(sel_logic.shape[-1])
+    # long histories: per-grid-step fixed cost dominates, so stream up to
+    # ~2K tokens of KV per step (the decode kernel learned the same
+    # lesson; the f32 qk temporaries cap how far this can go in VMEM)
+    kv_cap = max(8, 2048 // page_size)
+    g = _choose_chunk(sel_logic.shape[-1], cap=kv_cap)
     sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g)
     kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
     n_tiles = sel_logic.shape[-1]
@@ -304,7 +310,8 @@ def paged_prefill_attention(
 
             s = jnp.take(s, jnp.asarray(kv4_unpack_order(pg)), axis=-1)
         s = s.transpose(0, 2, 3, 1, 4)
-        return s.reshape(bb, hh, 4, n_chunks, g * pg)
+        # chunk axis flattened into lanes: blockable at (1, H, 4, G*page)
+        return s.reshape(bb, hh, 4, n_chunks * g * pg)
 
     ksc = flatten_scale(ksc)
 
@@ -329,17 +336,19 @@ def paged_prefill_attention(
         lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (b_, j_, 0, 0, 0),
     )
     gp = g * page_size
+    # one chunk's quant planes per grid step (a whole-history block would
+    # blow VMEM past ~64K context)
     if fine:
         sc_input = ksc
         sc_spec = pl.BlockSpec(
-            (1, hkv, 4, n_chunks, gp),
-            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (b_, 0, 0, 0, 0),
+            (1, hkv, 4, gp),
+            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (b_, 0, 0, j_),
         )
     else:
-        sc_input = jnp.zeros((1, hkv, 4, n_chunks, gp), jnp.float32)
+        sc_input = jnp.zeros((1, hkv, 4, gp), jnp.float32)
         sc_spec = pl.BlockSpec(
-            (1, hkv, 4, n_chunks, gp),
-            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (0,) * 5,
+            (1, hkv, 4, gp),
+            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (0,) * 4,
         )
 
     kernel = functools.partial(
@@ -386,6 +395,7 @@ def paged_prefill_attention(
                                        q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(sel_logic.astype(jnp.int32), q_start, q_count,

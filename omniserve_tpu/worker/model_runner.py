@@ -307,8 +307,11 @@ class ModelRunner:
         return batch, seq_ids, len(tables)
 
     def _prepare_decode(
-        self, metadata: List[SequenceGroupMetadata]
-    ) -> Tuple[DecodeBatch, List[int], List[int], int]:
+        self, metadata: List[SequenceGroupMetadata], device: bool = True
+    ):
+        """Host batch prep. ``device=False`` returns the raw host arrays
+        (the multi-step launcher packs them into ONE upload — each eager
+        host->device transfer costs ~20 ms on remote-attached TPUs)."""
         entries = []  # (slot, seq_id, token, pos, table, stable, new_page)
         any_new_slot = False
         new_pages: List[int] = []
@@ -364,6 +367,17 @@ class ModelRunner:
         npg = np.full(npg_pad, -1, np.int32)
         npg[: len(new_pages)] = new_pages
 
+        seq_slots = [e[0] for e in entries]
+        seq_ids = [e[1] for e in entries]
+        if not device:
+            host = {
+                "token_ids": token_ids, "positions": positions,
+                "active": active, "bt": bt, "st": st, "npg": npg,
+                "refresh": refresh, "cache": cache,
+                "w": w, "sw": sw,
+            }
+            return host, seq_ids, seq_slots, b_pad
+
         batch = DecodeBatch(
             token_ids=jnp.asarray(token_ids),
             positions=jnp.asarray(positions),
@@ -374,8 +388,6 @@ class ModelRunner:
             refresh_selection=jnp.asarray(refresh),
             cached_page_idxes=cache,
         )
-        seq_slots = [e[0] for e in entries]
-        seq_ids = [e[1] for e in entries]
         return batch, seq_ids, seq_slots, b_pad
 
     # -- sampling ------------------------------------------------------------
@@ -421,15 +433,28 @@ class ModelRunner:
         window's DEVICE output (no host round-trip on the critical path).
         """
         ce = self.cache_engine
-        batch, seq_ids, slots, _ = self._prepare_decode(metadata)
-        if pos_offset:
-            batch = batch._replace(positions=batch.positions + pos_offset)
-        if carry_tokens is not None:
-            batch = batch._replace(token_ids=carry_tokens)
-        fn = self._multi_step_fns(n_steps)
-        tokens, rpool, spool, new_sel = fn(
-            self.params, ce.retrieval_pool, ce.streaming_pool, batch
+        host, seq_ids, slots, b_pad = self._prepare_decode(
+            metadata, device=False
         )
+        use_carry = carry_tokens is not None
+        assert pos_offset == (n_steps if use_carry else 0), \
+            "pipelined windows are exactly one window ahead"
+        # ONE host->device transfer for the whole window's metadata
+        packed = np.concatenate([
+            host["token_ids"], host["positions"],
+            host["active"].astype(np.int32),
+            host["bt"].ravel(), host["st"].ravel(), host["npg"],
+            np.asarray([host["refresh"]], np.int32),
+        ]).astype(np.int32)
+        fn = self._multi_step_fns(
+            n_steps, b_pad, host["w"], host["sw"], len(host["npg"]),
+            use_carry,
+        )
+        args = [self.params, ce.retrieval_pool, ce.streaming_pool,
+                jnp.asarray(packed), host["cache"]]
+        if use_carry:
+            args.append(carry_tokens)
+        tokens, rpool, spool, new_sel = fn(*args)
         ce.set_pools(rpool, spool)
         if new_sel is not None:
             self._cached_page_idxes = new_sel
@@ -474,13 +499,43 @@ class ModelRunner:
         """
         return self.finish_multi_step(self.start_multi_step(metadata, n_steps))
 
-    @functools.lru_cache(maxsize=8)
-    def _multi_step_fns(self, n_steps: int):
+    @functools.lru_cache(maxsize=16)
+    def _multi_step_fns(self, n_steps: int, b_pad: int, w: int, sw: int,
+                        npg_len: int, use_carry: bool):
         spec = self.spec
         page = spec.page_size
         interval = max(1, spec.selector_interval)
 
-        def run(params, rpool, spool, batch):
+        def unpack_batch(packed, cache, carry):
+            """Rebuild the DecodeBatch from the single packed upload."""
+            o = 0
+
+            def take(n, shape=None):
+                nonlocal o
+                sl = jax.lax.dynamic_slice_in_dim(packed, o, n)
+                o += n
+                return sl if shape is None else sl.reshape(shape)
+
+            token_ids = take(b_pad)
+            positions = take(b_pad)
+            active = take(b_pad) != 0
+            bt = take(b_pad * w, (b_pad, w))
+            st = take(b_pad * sw, (b_pad, sw))
+            npg = take(npg_len)
+            refresh = take(1)[0] != 0
+            if use_carry:
+                # pipelined window: host state is one window behind
+                token_ids = carry
+                positions = positions + n_steps
+            return DecodeBatch(
+                token_ids=token_ids, positions=positions,
+                block_tables=bt, streaming_block_tables=st,
+                active=active, new_page_ids=npg,
+                refresh_selection=refresh, cached_page_idxes=cache,
+            )
+
+        def run(params, rpool, spool, packed, cache, carry=None):
+            batch = unpack_batch(packed, cache, carry)
             b = batch.positions.shape[0]
 
             def step0_pages(bd):
