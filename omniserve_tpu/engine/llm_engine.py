@@ -105,6 +105,7 @@ class LLMEngine:
         self._static_outputs: Optional[SchedulerOutputs] = None
         self._multi_step_buffer: List = []
         self._inflight_window = None   # speculative pipelined window
+        self._ifb_window_out: Optional[SchedulerOutputs] = None
 
         self.decoding_sim_length = int(
             os.environ.get("DECODING_SIMULATION_LENGTH", "0")
@@ -197,12 +198,37 @@ class LLMEngine:
         return self._step_static()
 
     def _step_ifb(self) -> List[RequestOutput]:
+        if self._multi_step_buffer:
+            # drain a buffered IFB window (scheduling resumes when empty)
+            return self._process_model_outputs(
+                self._multi_step_buffer.pop(0), self._ifb_window_out
+            )
         metadata, sched_out = self.scheduler.schedule()
         if sched_out.is_empty():
             return [
                 RequestOutput.from_seq_group(g)
                 for g in sched_out.ignored_seq_groups
             ]
+        if self._ifb_can_multi_step(metadata, sched_out):
+            n_multi = self.ifb_config.decode_multi_step
+            for group in sched_out.scheduled_seq_groups:
+                for seq in group.get_seqs(SequenceStatus.RUNNING):
+                    self.scheduler.block_manager.reserve_slots(seq, n_multi)
+            for meta, group in zip(metadata,
+                                   sched_out.scheduled_seq_groups):
+                for seq in group.get_seqs(SequenceStatus.RUNNING):
+                    meta.block_tables[seq.seq_id] = (
+                        self.scheduler.block_manager.get_block_table(seq)
+                    )
+                    if self.scheduler.block_manager.streaming is not None:
+                        meta.streaming_block_tables[seq.seq_id] = (
+                            self.scheduler.block_manager
+                            .get_streaming_block_table(seq)
+                        )
+            outs = self.worker.execute_model_multi_step(metadata, n_multi)
+            self._multi_step_buffer = outs[1:]
+            self._ifb_window_out = sched_out
+            return self._process_model_outputs(outs[0], sched_out)
         samples = self.worker.execute_model(
             metadata,
             sched_out.blocks_to_swap_in,
@@ -213,6 +239,43 @@ class LLMEngine:
             sched_out.streaming_blocks_to_copy,
         )
         return self._process_model_outputs(samples, sched_out)
+
+    def _ifb_can_multi_step(self, metadata, sched_out) -> bool:
+        """An IFB iteration can run a whole greedy window when no
+        scheduling decision could change inside it: a pure decode batch,
+        no pending admissions/swaps, everything greedy, and pool headroom
+        for the window (reference runs strictly one step per schedule,
+        llm_engine.py:541-561 — the window amortizes host prep and the
+        token sync; mid-window finishes just discard their tail)."""
+        n_multi = self.ifb_config.decode_multi_step
+        if n_multi <= 1 or self.parallel_config.world_size > 1:
+            return False
+        if any(m.is_prompt for m in metadata):
+            return False
+        if (
+            sched_out.blocks_to_swap_in or sched_out.blocks_to_swap_out
+            or sched_out.blocks_to_copy
+            or sched_out.streaming_blocks_to_swap_in
+            or sched_out.streaming_blocks_to_swap_out
+            or sched_out.streaming_blocks_to_copy
+        ):
+            return False
+        if self.scheduler.waiting or self.scheduler.swapped:
+            return False
+        groups = sched_out.scheduled_seq_groups
+        if not all(
+            g.sampling_params.temperature < 1e-5 for g in groups
+        ):
+            return False
+        # worst case every seq needs a page per step of the window
+        n_running = sum(
+            len(g.get_seqs(SequenceStatus.RUNNING)) for g in groups
+        )
+        pages = -(-self.ifb_config.decode_multi_step
+                  // self.cache_config.page_size) + 1
+        free = (self.scheduler.block_manager.retrieval
+                .device_allocator.get_num_free_blocks())
+        return free >= n_running * pages
 
     def _step_static(self) -> List[RequestOutput]:
         """Non-IFB: schedule once, then reuse the static batch

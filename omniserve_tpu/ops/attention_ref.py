@@ -269,33 +269,41 @@ def page_selector_scores(
     b, hq, d = q.shape
     hkv = head_is_retrieval.shape[0]
     n_rep = hq // hkv
-    # flat single-axis gather with the layer folded in — k_stats[layer]
-    # would dynamic-slice-copy the whole layer slab first
+    # Score the WHOLE pool slab, then pick each sequence's logical pages
+    # as a tiny scalar gather: on TPU, gathers whose slices are big
+    # (16 KB stats rows) lower to while-loops that cost ~0.3 ms per index,
+    # while the slab einsum is a contiguous read the MXU eats for free.
     n_pages = k_stats.shape[1]
-    stats = k_stats.reshape((-1,) + k_stats.shape[2:])[
-        layer * n_pages + block_tables
-    ]                                     # [B, max_b, Hr, n_sub*2, D]
-    kmin = stats[..., 0::2, :]
-    kmax = stats[..., 1::2, :]
+    hr = k_stats.shape[2]
+    slab = jax.lax.dynamic_slice_in_dim(
+        k_stats.reshape((-1,) + k_stats.shape[2:]), layer * n_pages,
+        n_pages,
+    )                                     # [P, Hr, n_sub*2, D]
+    kmin = slab[:, :, 0::2, :]            # [P, Hr, n_sub, D]
+    kmax = slab[:, :, 1::2, :]
     qf = q.astype(jnp.float32).reshape(b, hkv, n_rep, d)
-    ranks = head_rank  # [Hkv]
-    kmin_h = kmin[:, :, ranks]  # [B, max_b, Hkv, n_sub, D]
-    kmax_h = kmax[:, :, ranks]
-    # [B, max_b, Hkv, n_rep, n_sub]
+    # one q head per retrieval pool row (rank is a bijection there)
+    rows = jnp.arange(hr)
+    src = jnp.argmax(
+        (head_rank[None, :] == rows[:, None]) & head_is_retrieval[None, :],
+        axis=1,
+    )                                     # [Hr] kv head feeding pool row r
+    q_r = qf[:, src]                      # [B, Hr, n_rep, D]
     ub = jnp.einsum(
-        "bhrd,bphsd->bphrs",
-        jnp.maximum(qf, 0.0),
-        kmax_h,
-        precision=_PREC,
+        "bhrd,phsd->bphrs", jnp.maximum(q_r, 0.0), kmax,
     ) + jnp.einsum(
-        "bhrd,bphsd->bphrs",
-        jnp.minimum(qf, 0.0),
-        kmin_h,
-        precision=_PREC,
-    )
-    scores = ub.max(axis=(3, 4))  # [B, max_b, Hkv]
-    scores = jnp.where(head_is_retrieval[None, None, :], scores, NEG_INF)
-    return scores.transpose(0, 2, 1)  # [B, Hkv, max_blocks]
+        "bhrd,phsd->bphrs", jnp.minimum(q_r, 0.0), kmin,
+    )                                     # [B, P, Hr, n_rep, n_sub]
+    pool_scores = ub.max(axis=(3, 4))     # [B, P, Hr]
+    # per-sequence logical pages + kv-head rank routing: scalar gather
+    rank_c = jnp.clip(head_rank, 0, hr - 1)
+    sel = jnp.take_along_axis(
+        pool_scores[:, :, rank_c],        # [B, P, Hkv]
+        jnp.clip(block_tables, 0, n_pages - 1)[:, :, None],
+        axis=1,
+    )                                     # [B, max_b, Hkv]
+    scores = jnp.where(head_is_retrieval[None, None, :], sel, NEG_INF)
+    return scores.transpose(0, 2, 1)      # [B, Hkv, max_blocks]
 
 
 def select_topk_pages(

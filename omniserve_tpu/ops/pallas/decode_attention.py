@@ -409,3 +409,292 @@ def paged_mqa_attention_single_pass(
         interpret=interpret,
     )(phys_folded, sel_logic.astype(jnp.int32),
       lengths.astype(jnp.int32), win_start, pt_arr, q, sc, k_flat, v_flat)
+
+
+# ---------------------------------------------------------------------------
+# Per-head page lists (dynamic-sparse decode)
+# ---------------------------------------------------------------------------
+
+
+def _sp_kernel_ph(
+    # scalar prefetch
+    sel_phys_ref,   # [B, H, Tp] i32 layer-folded physical page index
+    sel_logic_ref,  # [B, H, Tp] i32 logical page (-1 = pad)
+    lengths_ref,    # [B] i32
+    pt_ref,         # [2] f32
+    # blocks
+    q_ref,          # [1, H, n_rep, D]
+    # full-array HBM refs
+    k_hbm,          # [L*P, H, R, D] u8
+    v_hbm,
+    sc_hbm,         # [L*P, H, 4, T] f32 pre-folded planes (dummy if not fine)
+    # out
+    o_ref,
+    # scratch
+    k_buf,          # [2, H, G*R, D] u8
+    v_buf,
+    sc_buf,         # [2, H, 4, G*T] f32
+    sem,            # [2, H, 3] (shared across the head's page copies)
+    m_ref, l_ref, acc_ref,
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_zeros: bool,
+    n_chunks: int,
+    g: int,
+    n_heads: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    rows = page_size // 2
+    step = b * n_chunks + j
+    slot = jax.lax.rem(step, 2)
+
+    def copies(bb, cc, sl, h, i):
+        idx = sel_phys_ref[bb, h, cc * g + i]
+        out = [
+            pltpu.make_async_copy(
+                k_hbm.at[idx, h],
+                k_buf.at[sl, h, pl.ds(i * rows, rows), :],
+                sem.at[sl, h, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[idx, h],
+                v_buf.at[sl, h, pl.ds(i * rows, rows), :],
+                sem.at[sl, h, 1],
+            ),
+        ]
+        if kv_zeros:
+            out.append(pltpu.make_async_copy(
+                sc_hbm.at[idx, h],
+                sc_buf.at[sl, h, :, pl.ds(i * page_size, page_size)],
+                sem.at[sl, h, 2],
+            ))
+        return out
+
+    def issue(bb, cc, sl):
+        bbc = jnp.minimum(bb, nb - 1)
+        for h in range(n_heads):
+            for i in range(g):
+                @pl.when((bb < nb)
+                         & (sel_logic_ref[bbc, h, cc * g + i] >= 0))
+                def _():
+                    for c in copies(bbc, cc, sl, h, i):
+                        c.start()
+
+    @pl.when(step == 0)
+    def _cold_start():
+        issue(b, j, slot)
+
+    nxt_b = jnp.where(j == n_chunks - 1, b + 1, b)
+    nxt_j = jnp.where(j == n_chunks - 1, 0, j + 1)
+    issue(nxt_b, nxt_j, 1 - slot)
+
+    for h in range(n_heads):
+        for i in range(g):
+            @pl.when(sel_logic_ref[b, h, j * g + i] >= 0)
+            def _():
+                for c in copies(b, j, slot, h, i):
+                    c.wait()
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = lengths_ref[b]
+    gb = g * (page_size // 4)
+    lanes = 4 * gb
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    p_of = lane // page_size
+    tok = lane % page_size
+
+    @pl.when(length > 0)
+    def _compute():
+        n_rep = q_ref.shape[2]
+
+        def nib_tokens(buf):
+            flat = buf[slot]
+            d_ = flat.shape[2]
+            w32 = pltpu.bitcast(
+                flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
+            )
+            streams = []
+            for sh in _NIBBLE_SHIFTS:
+                w = w32 if sh == 0 else (w32 >> sh)
+                streams.append(pltpu.bitcast(
+                    (w & 0x000F000F) | _MAGIC, jnp.bfloat16
+                ).reshape(n_heads, g, page_size // 4, d_))
+            return jnp.concatenate(streams, axis=2).reshape(
+                n_heads * lanes, d_
+            )
+
+        k_tok = nib_tokens(k_buf)
+        v_tok = nib_tokens(v_buf)
+
+        for h in range(n_heads):
+            rs = slice(h * n_rep, (h + 1) * n_rep)
+            hrows = slice(h * lanes, (h + 1) * lanes)
+            logic = jnp.full_like(lane, -1)
+            for p in range(g):
+                logic = jnp.where(
+                    p_of == p, sel_logic_ref[b, h, j * g + p], logic
+                )
+            valid = (logic >= 0) & (logic * page_size + tok < length)
+
+            q_bf = q_ref[0, h].astype(jnp.bfloat16)
+            q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=1, keepdims=True)
+            qk_int = jax.lax.dot_general(
+                q_bf, k_tok[hrows],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if kv_zeros:
+                s0 = sc_buf[slot, h, 0][None, :]
+                s1 = sc_buf[slot, h, 1][None, :]
+                qk = (qk_int * s0 - s1 * q_sum) * sm_scale
+            else:
+                qk = (qk_int - 136.0 * q_sum) * (pt_ref[0] * sm_scale)
+            qk = jnp.where(valid, qk, MASK_VALUE)
+
+            m_prev = m_ref[rs, 0][:, None]
+            l_prev = l_ref[rs, 0][:, None]
+            m_curr = jnp.max(qk, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            pexp = jnp.exp(qk - m_next)
+            pexp = jnp.where(valid, pexp, 0.0)
+            l_next = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+            m_ref[rs, :] = jnp.broadcast_to(m_next, (n_rep, 128))
+            l_ref[rs, :] = jnp.broadcast_to(l_next, (n_rep, 128))
+
+            if kv_zeros:
+                # scratch planes are garbage at invalid lanes (never
+                # DMA'd): mask BEFORE multiplying (0 * NaN = NaN)
+                p_bf = jnp.where(
+                    valid, pexp * sc_buf[slot, h, 2][None, :], 0.0
+                ).astype(jnp.bfloat16)
+                corr = jnp.sum(
+                    jnp.where(
+                        valid,
+                        p_bf.astype(jnp.float32)
+                        * sc_buf[slot, h, 3][None, :],
+                        0.0,
+                    ),
+                    axis=1, keepdims=True,
+                )
+                v_scale = 1.0
+            else:
+                p_bf = pexp.astype(jnp.bfloat16)
+                corr = 136.0 * jnp.sum(
+                    p_bf.astype(jnp.float32), axis=1, keepdims=True
+                )
+                v_scale = pt_ref[1]
+            pv = jax.lax.dot_general(
+                p_bf, v_tok[hrows],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[rs, :] = acc_ref[rs, :] * alpha + (pv - corr) * v_scale
+
+    @pl.when(j == n_chunks - 1)
+    def _finalize():
+        n_rep = o_ref.shape[2]
+        for h in range(n_heads):
+            rs = slice(h * n_rep, (h + 1) * n_rep)
+            l = jnp.maximum(l_ref[rs, 0][:, None], 1e-10)
+            o_ref[0, h] = (acc_ref[rs, :] / l).astype(o_ref.dtype)
+
+
+def paged_mqa_attention_single_pass_ph(
+    q: jnp.ndarray,            # [B, Hkv, n_rep, D]
+    pool: KVPool,
+    layer,
+    sel_phys: jnp.ndarray,     # [B, H, Tp] physical page ids
+    sel_logic: jnp.ndarray,    # [B, H, Tp] logical page or -1
+    lengths: jnp.ndarray,      # [B]
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_zeros: bool,
+    pt_scales=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """kv4 dynamic-sparse decode: PER-HEAD page lists, pages and their
+    quant planes DMA'd straight from the HBM pools (XLA gathers of pool
+    slices lower to while-loops costing ~0.3 ms/index on TPU)."""
+    b, hkv, n_rep, d = q.shape
+    tp = sel_logic.shape[-1]
+    quantum = max(1, 128 // page_size)
+    cap = max(quantum, 4096 // page_size)
+    g = min(cap, quantum * _cdiv(tp, quantum))
+    n_chunks = _cdiv(tp, g)
+    pad = n_chunks * g - tp
+    if pad:
+        cfg = [(0, 0), (0, 0), (0, pad)]
+        sel_phys = jnp.pad(sel_phys, cfg)
+        sel_logic = jnp.pad(sel_logic, cfg, constant_values=-1)
+
+    L, P = pool.k_data.shape[0], pool.k_data.shape[1]
+    rows = pool.k_data.shape[3]
+    k_flat = pool.k_data.reshape(L * P, hkv, rows, d)
+    v_flat = pool.v_data.reshape(L * P, hkv, rows, d)
+    phys_folded = (layer * P + sel_phys).astype(jnp.int32)
+    fine = pool.kv_scales is not None and kv_zeros
+    if fine:
+        sc_flat = pool.kv_scales.reshape(L * P, hkv, 4, page_size)
+    else:
+        sc_flat = jnp.zeros((1, hkv, 4, page_size), jnp.float32)
+
+    if pt_scales is None:
+        pt_arr = jnp.zeros((2,), jnp.float32)
+    else:
+        pt_arr = jnp.stack([
+            jnp.asarray(pt_scales[0], jnp.float32),
+            jnp.asarray(pt_scales[1], jnp.float32),
+        ])
+
+    kernel = functools.partial(
+        _sp_kernel_ph,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        kv_zeros=fine,
+        n_chunks=n_chunks,
+        g=g,
+        n_heads=hkv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, hkv, n_rep, d),
+                         lambda b_, j_, *pref: (b_, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, n_rep, d),
+                               lambda b_, j_, *pref: (b_, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),
+            pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),
+            pltpu.VMEM((2, hkv, 4, g * page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, hkv, 3)),
+            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),
+            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),
+            pltpu.VMEM((hkv * n_rep, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(phys_folded, sel_logic.astype(jnp.int32),
+      lengths.astype(jnp.int32), pt_arr, q, k_flat, v_flat, sc_flat)

@@ -576,7 +576,15 @@ def paged_decode_attention(
             tile[None, :] < n_pages[:, None], tile[None, :], -1
         )                                             # [B, max_blocks]
         sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
-    if use_sp and page_idxes is None:
+    if use_sp and page_idxes is not None:
+        # per-head page lists: pages + quant planes DMA'd in-kernel
+        out_r = sp.paged_mqa_attention_single_pass_ph(
+            q_r, pool, layer, sel_phys, sel_logic,
+            context_lens.astype(jnp.int32),
+            sm_scale=sm_scale, page_size=page_size, kv_zeros=kv_zeros,
+            pt_scales=pt_of(pool), interpret=interpret,
+        )
+    elif use_sp:
         # single-pass kernel: pages read straight from the HBM pool
         out_r = sp.paged_mqa_attention_single_pass(
             q_r, pool, layer, sel_phys, sel_logic,

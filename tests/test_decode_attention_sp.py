@@ -81,3 +81,48 @@ def test_supports_matrix():
     assert sp.supports(4, 64, 128)
     assert not sp.supports(8, 128, 128)
     assert not sp.supports(4, 48, 128)
+
+
+def test_per_head_single_pass_matches_reference():
+    """Dynamic-sparse (per-head page lists) single-pass kernel."""
+    page, kv_zeros = 128, True
+    h, d, n_rep = 2, 128, 4
+    lengths = [page * 4, page * 2 + 9]
+    b = len(lengths)
+    max_blocks = 4
+    n_pages = b * max_blocks + 1
+    tables = np.arange(b * max_blocks, dtype=np.int32).reshape(b, max_blocks)
+    pool, _, _ = build_pool(page, n_pages, h, d, lengths, tables, kv_zeros)
+
+    q = rng.normal(size=(b, h * n_rep, d)).astype(np.float32)
+    layer = 0
+    sm = 1.0 / np.sqrt(d)
+    # per-head selections: subset of logical pages, head-dependent, -1 pad
+    page_idxes = np.array([
+        [[0, 2, 3, -1], [1, 3, -1, -1]],
+        [[2, 0, -1, -1], [0, 1, 2, -1]],
+    ], np.int32)                                   # [B, H, n_sel]
+
+    want = attention_ref.paged_decode_attention(
+        jnp.asarray(q), pool, layer, jnp.asarray(tables),
+        jnp.asarray(lengths, jnp.int32), sm, page, 4, kv_zeros,
+        page_idxes=jnp.asarray(np.repeat(page_idxes, 1, axis=1)),
+        head_is_retrieval=jnp.ones((h,), bool),
+        head_rank=jnp.arange(h),
+    )
+
+    safe = np.clip(page_idxes, 0, max_blocks - 1)
+    sel_phys = np.take_along_axis(
+        np.repeat(tables[:, None, :], h, 1), safe, axis=2
+    )
+    sel_phys = np.where(page_idxes >= 0, sel_phys, 0)
+    got = sp.paged_mqa_attention_single_pass_ph(
+        jnp.asarray(q).reshape(b, h, n_rep, d), pool, layer,
+        jnp.asarray(sel_phys), jnp.asarray(page_idxes),
+        jnp.asarray(lengths, jnp.int32),
+        sm_scale=sm, page_size=page, kv_zeros=kv_zeros,
+        interpret=True,
+    ).reshape(b, h * n_rep, d)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2
+    )

@@ -48,3 +48,36 @@ def test_pipelined_matches_single_step(tiny_model_dir):
     got = run(tiny_model_dir, multi_step=4)   # gen=13: speculation + tail
     assert [len(t) for t in got] == [13, 13]
     assert got == want, (got, want)
+
+
+def test_ifb_multi_step_matches_single_step(tiny_model_dir):
+    """IFB windows engage on pure greedy decode batches and reproduce
+    per-step tokens exactly."""
+    from omniserve_tpu import EngineArgs, LLMEngine
+
+    def run_ifb(multi_step):
+        engine = LLMEngine.from_engine_args(EngineArgs(
+            model=tiny_model_dir, precision="w4a8kv4", load_format="dummy",
+            block_size=16, max_num_seqs=4, max_num_batched_tokens=2048,
+            num_retrieval_blocks=64, ifb_mode=True,
+            decode_multi_step=multi_step,
+        ))
+        for i, prompt in enumerate(([5, 9, 2, 6], [3, 1, 4])):
+            engine.add_request(
+                f"r{i}", prompt_token_ids=list(prompt),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=11, ignore_eos=True
+                ),
+            )
+        held = [g for g in engine.scheduler.waiting]
+        steps = 0
+        while engine.has_unfinished_requests():
+            engine.step()
+            steps += 1
+            assert steps < 200
+        return [list(g.get_seqs()[0].data.output_token_ids) for g in held]
+
+    want = run_ifb(1)
+    got = run_ifb(4)
+    assert [len(t) for t in got] == [11, 11]
+    assert got == want, (got, want)
