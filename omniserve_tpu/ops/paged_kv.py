@@ -527,18 +527,32 @@ def reset_page_stats_all_layers(
     s = s2 // 2
     npg = safe.shape[0]
     # one leading-dim scatter of whole-page rows across all layers
+    # Row-granular scatter on a [rows, D] view: merging the trailing
+    # (H, S2, D) dims into lanes would relayout-copy the whole stats pool
+    # (hundreds of MB) every step.
     pattern = jnp.stack(
         [jnp.full((d,), jnp.inf, pool.k_stats.dtype),
          jnp.full((d,), -jnp.inf, pool.k_stats.dtype)]
     )                                                  # [2, D]
-    row = jnp.broadcast_to(pattern, (h_, s, 2, d)).reshape(-1)
-    idx = jnp.arange(L)[:, None] * p + safe[None, :]      # [L, Npg]
-    # dropped pages got the sentinel ``p``: push them past L*p so the
+    vals_page = jnp.broadcast_to(
+        pattern[None, :, :], (h_ * s, 2, d)
+    ).reshape(h_ * s2, d)                              # [H*S2, D]
+    flat = pool.k_stats.reshape(-1, d)                 # [L*P*H*S2, D]
+    n_rows = flat.shape[0]
+    base = jnp.arange(L)[:, None] * p + safe[None, :]     # [L, Npg]
+    # dropped pages got the sentinel ``p``: push them out of range so the
     # scatter's drop mode catches them (l*p + p would alias layer l+1)
-    idx = jnp.where(safe[None, :] >= p, L * p, idx).reshape(-1)
-    flat = pool.k_stats.reshape(L * p, h_ * s2 * d)
-    flat = flat.at[idx].set(
-        jnp.broadcast_to(row, (L * npg, row.shape[0])), mode="drop"
+    base = jnp.where(safe[None, :] >= p, L * p, base)
+    rows = (
+        base[:, :, None] * (h_ * s2)
+        + jnp.arange(h_ * s2)[None, None, :]
+    )                                                  # [L, Npg, H*S2]
+    rows = jnp.where(rows >= n_rows, n_rows, rows)
+    flat = flat.at[rows.reshape(-1)].set(
+        jnp.broadcast_to(
+            vals_page[None, :, :], (L * npg, h_ * s2, d)
+        ).reshape(-1, d),
+        mode="drop",
     )
     return pool._replace(k_stats=flat.reshape(pool.k_stats.shape))
 

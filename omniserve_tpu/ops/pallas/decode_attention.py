@@ -288,12 +288,15 @@ def _gather_scale_planes(pool: KVPool, layer, sel_phys, page_size, g,
     b, tp = sel_phys.shape
     L, P, H, page4 = pool.kv_scales.shape
     T = page4 // 4
-    flat_idx = layer * P + sel_phys                       # [B, Tp]
     # planes are stored PRE-FOLDED in the pool (KVPool docstring), so the
-    # per-step work is ONE gather + ONE row-granular transpose (the
-    # 512->(4,T) lane split is tiling-preserving, and the permute keeps
-    # the 128-lane token rows intact — no sub-tile relayouts)
-    sc = pool.kv_scales.reshape(L * P, H, 4, T)[flat_idx]  # [B,Tp,H,4,T]
+    # per-step work is ONE gather + ONE row-granular transpose. The
+    # 4T -> (4, T) lane split must happen on the PER-LAYER SLAB, not the
+    # whole pool: splitting the full [L*P, ...] view relayout-copies
+    # hundreds of MB per layer-step.
+    slab = jax.lax.dynamic_slice_in_dim(
+        pool.kv_scales.reshape(L * P, H, page4), layer * P, P
+    ).reshape(P, H, 4, T)
+    sc = slab[sel_phys]                                    # [B,Tp,H,4,T]
     planes = sc.transpose(0, 2, 3, 1, 4)                   # [B,H,4,Tp,T]
     return planes.reshape(b, H, 4, n_chunks * g * T)
 
@@ -419,6 +422,7 @@ def paged_mqa_attention_single_pass(
 def _sp_kernel_ph(
     # scalar prefetch
     sel_phys_ref,   # [B, H, Tp] i32 layer-folded physical page index
+    sel_sc_ref,     # [B, H, Tp] i32 slab-local page index (scale DMAs)
     sel_logic_ref,  # [B, H, Tp] i32 logical page (-1 = pad)
     lengths_ref,    # [B] i32
     pt_ref,         # [2] f32
@@ -467,7 +471,7 @@ def _sp_kernel_ph(
         ]
         if kv_zeros:
             out.append(pltpu.make_async_copy(
-                sc_hbm.at[idx, h],
+                sc_hbm.at[sel_sc_ref[bb, h, cc * g + i], h],
                 sc_buf.at[sl, h, :, pl.ds(i * page_size, page_size)],
                 sem.at[sl, h, 2],
             ))
@@ -644,9 +648,17 @@ def paged_mqa_attention_single_pass_ph(
     phys_folded = (layer * P + sel_phys).astype(jnp.int32)
     fine = pool.kv_scales is not None and kv_zeros
     if fine:
-        sc_flat = pool.kv_scales.reshape(L * P, hkv, 4, page_size)
+        # slice THIS layer's slab before the 4T -> (4, T) lane split (on
+        # the whole pool the split relayout-copies hundreds of MB/step);
+        # the kernel's scale DMAs index the per-layer slab directly
+        page4 = pool.kv_scales.shape[-1]
+        sc_flat = jax.lax.dynamic_slice_in_dim(
+            pool.kv_scales.reshape(L * P, hkv, page4), layer * P, P
+        ).reshape(P, hkv, 4, page_size)
+        phys_sc = sel_phys.astype(jnp.int32)   # unfolded (slab-local)
     else:
         sc_flat = jnp.zeros((1, hkv, 4, page_size), jnp.float32)
+        phys_sc = jnp.zeros_like(sel_phys, dtype=jnp.int32)
 
     if pt_scales is None:
         pt_arr = jnp.zeros((2,), jnp.float32)
@@ -666,7 +678,7 @@ def paged_mqa_attention_single_pass_ph(
         n_heads=hkv,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, hkv, n_rep, d),
@@ -696,5 +708,5 @@ def paged_mqa_attention_single_pass_ph(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(phys_folded, sel_logic.astype(jnp.int32),
+    )(phys_folded, phys_sc, sel_logic.astype(jnp.int32),
       lengths.astype(jnp.int32), pt_arr, q, k_flat, v_flat, sc_flat)
