@@ -583,6 +583,7 @@ def _split_qkv(qkv, spec: LlamaSpec, t):
 def _write_kv(
     pools, layer, k, v, pages_r, slots_r, pages_s, slots_s, meta_l, spec,
     update_stats: bool, unique_pages: bool = False,
+    page_aligned: bool = False,
 ):
     """Quantize + scatter K/V into both pools for one layer."""
     retrieval_pool, streaming_pool = pools
@@ -605,6 +606,7 @@ def _write_kv(
         retrieval_pool = append_kv(
             retrieval_pool, layer, k[:, src_r], v[:, src_r], pages_r,
             slots_r, spec.page_size, spec.kv_bits, spec.kv_zeros,
+            page_aligned=page_aligned,
         )
         if update_stats and retrieval_pool.k_stats is not None:
             retrieval_pool = update_k_stats(
@@ -625,6 +627,7 @@ def _write_kv(
             streaming_pool = append_kv(
                 streaming_pool, layer, k[:, src_s], v[:, src_s], pages_s,
                 slots_s, spec.page_size, spec.kv_bits, spec.kv_zeros,
+                page_aligned=page_aligned,
             )
     return retrieval_pool, streaming_pool
 
@@ -691,6 +694,9 @@ def _layer_step(
     pools = _write_kv(
         pools, layer_idx, k, v, pages_r, slots_r, pages_s, slots_s, meta_l,
         spec, update_stats=spec.sparse_decode, unique_pages=not is_prefill,
+        # chunked prefill is page-aligned by construction: chunk size is a
+        # page multiple and each [B, Tc] row starts at ci*Tc
+        page_aligned=is_prefill and batch.context_lens is not None,
     )
     retrieval_pool, streaming_pool = pools
 

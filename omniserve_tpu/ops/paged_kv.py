@@ -365,11 +365,20 @@ def append_kv(
     kv_bits: int,
     kv_zeros: bool,
     unique_pages: bool = False,
+    page_aligned: bool = False,
 ) -> KVPool:
     """Quantize and scatter T tokens into one layer of a pool.
 
     ``unique_pages=True`` (decode) promises every token targets a distinct
     page, enabling the fast row-granular scale update.
+
+    ``page_aligned=True`` (chunked prefill) promises tokens come in groups
+    of ``page_size`` consecutive slots (slot = i % page within each group)
+    where all non-dropped tokens of a group share ONE page, and no two
+    groups in the call target the same page. Scale updates then become
+    whole-row read-modify-writes at PAGE granularity (n_pages*H rows)
+    instead of the per-element interior-dim scatter, which XLA lowers to a
+    sequential per-element loop (~17 s across a 256K prefill).
 
     TPU equivalent of apply_bias_rope_update_kv_cache (RoPE is applied by
     the caller; this op does quant + paged scatter). Tokens with
@@ -427,6 +436,35 @@ def append_kv(
                 new = jnp.where(hit, vals[:, :, plane:plane + 1], new)
             rows2d = rows2d.at[row_idx.reshape(-1)].set(
                 new.reshape(t * h_, page4), mode="drop"
+            )
+            updates["kv_scales"] = rows2d.reshape(pool.kv_scales.shape)
+        elif page_aligned and t % page == 0:
+            # Chunked-prefill path: each group of `page` tokens covers one
+            # page's slots in order, so build each page's full [4*page]
+            # scale row and do a leading-dim row RMW (lane-merged against
+            # the current row so dropped tokens — padding tails, streaming
+            # dead spans, live last-wrap ring slots — keep their scales).
+            n_pg = t // page
+            rows2d = pool.kv_scales.reshape(L * p * h_, page4)
+            n_rows = rows2d.shape[0]
+            gpages = jnp.max(page_ids.reshape(n_pg, page), axis=1)
+            row_idx = (layer * p + gpages[:, None]) * h_ \
+                + jnp.arange(h_)[None, :]                    # [n_pg, H]
+            bad = (gpages[:, None] < 0) | (gpages[:, None] >= p)
+            row_idx = jnp.where(bad, n_rows, row_idx)
+            cur = rows2d[jnp.minimum(row_idx, n_rows - 1)]   # [n_pg,H,4pg]
+            planes = (
+                k_scale, k_scale * (k_zero + 128.0), v_scale, v_zero + 128.0
+            )
+            new = jnp.concatenate(
+                [pp.reshape(n_pg, page, h_).transpose(0, 2, 1)
+                 for pp in planes], axis=-1,
+            )                                                # [n_pg,H,4pg]
+            valid = page_ids.reshape(n_pg, 1, page) >= 0
+            valid4 = jnp.concatenate([valid] * 4, axis=-1)
+            merged = jnp.where(valid4, new.astype(cur.dtype), cur)
+            rows2d = rows2d.at[row_idx.reshape(-1)].set(
+                merged.reshape(n_pg * h_, page4), mode="drop"
             )
             updates["kv_scales"] = rows2d.reshape(pool.kv_scales.shape)
         else:

@@ -244,7 +244,7 @@ def paged_prefill_attention(
     head_is_retrieval=None,
     sink_size: int = 0,
     local_size: int = 0,
-    tile_q: int = 64,
+    tile_q: int = 128,
     sel_logic: Optional[jnp.ndarray] = None,   # [B, n_slots] override
     ring_span_pages: int = 0,
     ring_sink_tokens: int = 0,

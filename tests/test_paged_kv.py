@@ -87,6 +87,48 @@ class TestAppendGatherRoundtrip:
         assert (byte_before & 0x0F) == (byte_after & 0x0F)
 
 
+class TestPageAlignedScaleWrite:
+    @pytest.mark.parametrize("kv_bits", [4, 8])
+    def test_matches_element_scatter(self, kv_bits):
+        # 3 full groups: group 0 all valid, group 1 mixed (valid head +
+        # dropped tail, as at a chunk end), group 2 all dropped. The
+        # grouped whole-row RMW must equal the element-scatter result,
+        # preserving pre-existing scales in dropped lanes.
+        n_tok = 3 * PAGE
+        pool0 = make_kv_pool(1, 4, HEADS, PAGE, DIM, kv_bits=kv_bits)
+        # pre-populate page 1 (the page group 1 targets) so dropped lanes
+        # have non-trivial content to preserve
+        pre = rng.normal(size=(PAGE, HEADS, DIM)).astype(np.float32)
+        pool0 = append_kv(
+            pool0, 0, jnp.asarray(pre), jnp.asarray(pre),
+            jnp.full(PAGE, 1, np.int32), jnp.arange(PAGE, dtype=np.int32),
+            PAGE, kv_bits, True,
+        )
+        k = rng.normal(size=(n_tok, HEADS, DIM)).astype(np.float32)
+        v = rng.normal(size=(n_tok, HEADS, DIM)).astype(np.float32)
+        page_ids = np.concatenate([
+            np.full(PAGE, 2, np.int32),
+            np.where(np.arange(PAGE) < 3, 1, -1).astype(np.int32),
+            np.full(PAGE, -1, np.int32),
+        ])
+        slots = np.tile(np.arange(PAGE, dtype=np.int32), 3)
+        outs = [
+            append_kv(
+                pool0, 0, jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(page_ids), jnp.asarray(slots),
+                PAGE, kv_bits, True, page_aligned=aligned,
+            )
+            for aligned in (False, True)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(outs[0].kv_scales), np.asarray(outs[1].kv_scales),
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].k_data), np.asarray(outs[1].k_data)
+        )
+
+
 class TestKStats:
     def test_minmax_pooling(self):
         sub_chunks = 2
