@@ -66,8 +66,29 @@ def moe_capacity(spec: MixtralSpec, t: int) -> int:
     return max(8, -(-c // 8) * 8)
 
 
-def _expert_bmm(weight, spec: MixtralSpec, x_q, x_scale=None, x_sum=None):
-    """Batched per-expert linear; mirrors llama._apply_linear."""
+def _expert_bmm(weight, spec: MixtralSpec, x_q, x_scale=None, x_sum=None,
+                layer=None):
+    """Batched per-expert linear; mirrors llama._apply_linear.
+
+    With ``layer`` (traced), ``weight`` leaves are STACKED [L, E, ...]:
+    flatten the leading dims (a free metadata reshape) and run the 2-D
+    quantized GEMM once per expert with in-kernel index layer*E + e — a
+    per-layer ``tree.map(x[layer])`` slice would copy the whole layer's
+    expert stack (~700 MB for Mixtral-8x7B int4) every scan step.
+    """
+    if layer is not None:
+        e = x_q.shape[0]
+        wm = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), weight)
+        outs = [
+            llama_mod._apply_linear(
+                wm, spec, x_q[ex],
+                None if x_scale is None else x_scale[ex],
+                None if x_sum is None else x_sum[ex],
+                layer=layer * e + ex,
+            )
+            for ex in range(e)
+        ]
+        return jnp.stack(outs)
     if spec.weight_bits == 4 and spec.group_size == -1:
         return moe_ops.w4a8_bmm_per_channel(
             x_q, weight.qweight, weight.s1_scales, weight.s1_szeros,
@@ -88,13 +109,19 @@ def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec,
     """Pre-norm MoE block: route -> dispatch -> expert SwiGLU -> combine.
 
     ``lp`` arrives STACKED over layers (llama_forward keeps the weights
-    out of the scan xs); slice this layer's leaves up front. The expert
-    GEMMs still materialize the slice — in-kernel layer indexing for the
-    grouped MoE matmuls is a follow-up.
+    out of the scan xs). Only the small leaves (mlp_ln [L,D], gate
+    [L,D,E]) are sliced per layer; the expert weight stacks stay [L,E,...]
+    and are indexed inside the quantized-GEMM kernels via _expert_bmm's
+    ``layer`` path, so the scan never copies a layer's expert slab.
     """
+    expert_layer = None
     if layer is not None:
-        lp = {k: jax.tree.map(lambda x: x[layer], lp[k])
-              for k in ("mlp_ln", "gate", "w13", "w2")}
+        expert_layer = layer
+        lp = dict(
+            lp,
+            mlp_ln=lp["mlp_ln"][layer],
+            gate=lp["gate"][layer],
+        )
     t = h.shape[0]
     e, k = spec.num_experts, spec.top_k
     capacity = moe_capacity(spec, t)
@@ -115,7 +142,8 @@ def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec,
         x_d = moe_ops.dispatch(x_n, routing, e, capacity)
         s_d = sum_d = None
 
-    gate_up = _expert_bmm(lp["w13"], spec, x_d, s_d, sum_d)  # [E, C, 2I']
+    gate_up = _expert_bmm(lp["w13"], spec, x_d, s_d, sum_d,
+                          layer=expert_layer)  # [E, C, 2I']
     ec = e * capacity
     gu_flat = gate_up.reshape(ec, -1)
     if spec.quantized_acts:
@@ -130,7 +158,8 @@ def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec,
             e, capacity, -1
         )
         g_scale = g_sum = None
-    down = _expert_bmm(lp["w2"], spec, g_q, g_scale, g_sum)  # [E, C, D]
+    down = _expert_bmm(lp["w2"], spec, g_q, g_scale, g_sum,
+                       layer=expert_layer)  # [E, C, D]
     y = moe_ops.combine(down, routing, t)
     if spec.tp_axis is not None:
         y = jax.lax.psum(y, spec.tp_axis)
