@@ -154,10 +154,17 @@ class LlamaSpec:
         scaling_cfg = getattr(hf, "rope_scaling", None)
         if scaling_cfg and scaling_cfg.get("type", scaling_cfg.get("rope_type")) == "linear":
             rope_scaling = float(scaling_cfg["factor"])
+        if hf.intermediate_size % tp_size:
+            raise ValueError(
+                f"intermediate_size {hf.intermediate_size} not divisible "
+                f"by tensor_parallel_size {tp_size}"
+            )
         return cls(
             num_layers=hf.num_hidden_layers,
             hidden=hf.hidden_size,
-            intermediate=hf.intermediate_size,
+            # PER-RANK sizes when tp_size > 1 (like num_q_heads below);
+            # loaders rebuild the global width as spec.intermediate * tp
+            intermediate=hf.intermediate_size // tp_size,
             num_q_heads=hf.num_attention_heads // tp_size,
             num_kv_heads=model_config.get_num_kv_heads(tp_size),
             head_dim=model_config.get_head_size(),

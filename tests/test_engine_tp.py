@@ -63,13 +63,11 @@ def test_tp_engine_matches_single_chip(tiny_model_dir):
     got = run_engine(tiny_model_dir, tp=4)
     assert set(got) == set(want)
     # psum reduction order can flip a near-tie greedy argmax on random
-    # weights; logits-level TP equivalence is covered by
-    # tests/test_parallel.py. Here require the prefixes to agree.
+    # weights (tiny random models have near-uniform logits); logits-level
+    # TP equivalence is covered by tests/test_parallel.py. Here require
+    # position-wise agreement up to one near-tie flip.
     for rid in want:
         a, b = got[rid], want[rid]
-        agree = 0
-        for x, y in zip(a, b):
-            if x != y:
-                break
-            agree += 1
-        assert agree >= len(b) - 1, (rid, a, b)
+        assert len(a) == len(b), (rid, a, b)
+        mismatches = sum(x != y for x, y in zip(a, b))
+        assert mismatches <= 1, (rid, a, b)
