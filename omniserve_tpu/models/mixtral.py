@@ -41,10 +41,14 @@ from omniserve_tpu.ops.quantization import (
 
 @dataclasses.dataclass(frozen=True)
 class MixtralSpec(LlamaSpec):
-    num_experts: int = 8
+    num_experts: int = 8          # GLOBAL expert count
     top_k: int = 2
     # capacity per expert = ceil(T * top_k / E * factor), multiple of 8
     capacity_factor: float = 2.0
+    # expert parallelism: experts sharded over the model axis (each rank
+    # holds num_experts // ep_size FULL-width experts); attention stays
+    # head-sharded TP on the same axis. 1 = experts replicated/unsharded.
+    ep_size: int = 1
 
     @classmethod
     def from_model_config(cls, model_config, sp_attn_config=None,
@@ -53,11 +57,27 @@ class MixtralSpec(LlamaSpec):
             model_config, sp_attn_config, tp_size, page_size
         )
         hf = model_config.hf_config
+        num_experts = getattr(hf, "num_local_experts", 8)
+        if tp_size > 1 and num_experts % tp_size:
+            raise ValueError(
+                f"num_local_experts {num_experts} not divisible by "
+                f"tensor_parallel_size {tp_size} (MoE runs expert-parallel "
+                f"over the model axis)"
+            )
+        kw = dataclasses.asdict(base)
+        # experts keep FULL intermediate width; parallelism shards the
+        # EXPERT axis (ep), not the per-expert MLP width
+        kw["intermediate"] = hf.intermediate_size
         return cls(
-            **dataclasses.asdict(base),
-            num_experts=getattr(hf, "num_local_experts", 8),
+            **kw,
+            num_experts=num_experts,
             top_k=getattr(hf, "num_experts_per_tok", 2),
+            ep_size=tp_size,
         )
+
+    @property
+    def local_experts(self) -> int:
+        return self.num_experts // self.ep_size
 
 
 def moe_capacity(spec: MixtralSpec, t: int) -> int:
@@ -129,6 +149,15 @@ def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec,
     x_n = rms_norm(h, lp["mlp_ln"], spec.rms_eps).astype(jnp.bfloat16)
     logits = jnp.dot(x_n, lp["gate"], preferred_element_type=jnp.float32)
     routing = moe_ops.route_topk(logits, k, capacity)
+
+    if spec.ep_size > 1 and spec.tp_axis is not None:
+        # Expert parallelism: the router (replicated) computes GLOBAL
+        # routing, each rank dispatches/computes only its local experts,
+        # and the tp_axis psum below combines across ranks. Weight stacks
+        # arrive pre-sharded [L, E/ep, ...] under shard_map.
+        e = spec.local_experts
+        rank = jax.lax.axis_index(spec.tp_axis)
+        routing = moe_ops.local_routing(routing, rank * e, e, capacity)
 
     if spec.quantized_acts:
         a_i8, a_scale, a_sum = quantize_activations(
@@ -209,10 +238,16 @@ def make_random_params(
     spec: MixtralSpec, seed: int = 0,
     retrieval_flags: Optional[np.ndarray] = None,
     head_rank: Optional[np.ndarray] = None,
+    tp_size: int = 1,
 ) -> Dict[str, Any]:
+    """``spec`` holds PER-RANK attention sizes when tp_size > 1. Expert
+    stacks stay GLOBAL [L, E, ...]: EP shards the expert axis naturally
+    (no rank-major interleave needed, unlike qkv/o)."""
     rng = np.random.default_rng(seed)
     L, D, I, E = (spec.num_layers, spec.hidden, spec.intermediate,
                   spec.num_experts)
+    q_size = spec.q_size * tp_size
+    kv_size = spec.kv_size * tp_size
 
     def w(*shape, scale=0.02):
         return (rng.standard_normal(size=shape, dtype=np.float32) * scale)
@@ -220,11 +255,14 @@ def make_random_params(
     dense = {
         "attn_ln": np.ones((L, D), np.float32),
         "mlp_ln": np.ones((L, D), np.float32),
-        "qkv": w(L, spec.qkv_out, D),
-        "o": w(L, D, spec.q_size),
+        "qkv": llama_mod.fuse_qkv_rank_major(
+            w(L, q_size, D), w(L, kv_size, D), w(L, kv_size, D), tp_size
+        ),
+        "o": w(L, D, q_size),
     }
     layers = llama_mod.quantize_layer_weights(
-        {k: v for k, v in dense.items() if k in ("qkv", "o")}, spec
+        {k: v for k, v in dense.items() if k in ("qkv", "o")}, spec,
+        tp_size,
     )
     layers["attn_ln"] = jnp.asarray(dense["attn_ln"])
     layers["mlp_ln"] = jnp.asarray(dense["mlp_ln"])
@@ -236,20 +274,24 @@ def make_random_params(
         "final_ln": jnp.ones((D,), jnp.float32),
         "lm_head": jnp.asarray(w(D, spec.vocab), jnp.bfloat16),
         "layers": layers,
-        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank,
+                                    tp_size),
     }
     return params
 
 
 def load_mixtral_params(model_config, spec: MixtralSpec,
-                        retrieval_flags=None, head_rank=None):
+                        retrieval_flags=None, head_rank=None,
+                        tp_size: int = 1):
     """HF Mixtral checkpoint -> quantized stacked params.
 
     Expert weights live at
     ``model.layers.{i}.block_sparse_moe.experts.{e}.w{1,2,3}.weight`` and the
     router at ``...block_sparse_moe.gate.weight`` (same contract the
     reference loader walks, mixtral_w4a8_unpad.py:709+); w1=gate / w3=up are
-    fused into w13 = [gate; up] like the dense gate_up fusion.
+    fused into w13 = [gate; up] like the dense gate_up fusion. ``spec``
+    holds PER-RANK attention sizes when tp_size > 1; expert stacks stay
+    global (sharded on the expert axis by EP).
     """
     from omniserve_tpu.models.weight_loader import (
         _iter_hf_weights,
@@ -259,10 +301,12 @@ def load_mixtral_params(model_config, spec: MixtralSpec,
     path = _resolve_path(model_config.quant_path or model_config.model)
     L, D, I, E = (spec.num_layers, spec.hidden, spec.intermediate,
                   spec.num_experts)
-    q = np.zeros((L, spec.q_size, D), np.float32)
-    k = np.zeros((L, spec.kv_size, D), np.float32)
-    v = np.zeros((L, spec.kv_size, D), np.float32)
-    o = np.zeros((L, D, spec.q_size), np.float32)
+    q_size = spec.q_size * tp_size
+    kv_size = spec.kv_size * tp_size
+    q = np.zeros((L, q_size, D), np.float32)
+    k = np.zeros((L, kv_size, D), np.float32)
+    v = np.zeros((L, kv_size, D), np.float32)
+    o = np.zeros((L, D, q_size), np.float32)
     gate_r = np.zeros((L, D, E), np.float32)
     w1 = np.zeros((L, E, I, D), np.float32)
     w2 = np.zeros((L, E, D, I), np.float32)
@@ -311,7 +355,8 @@ def load_mixtral_params(model_config, spec: MixtralSpec,
         lm_head = embed
 
     layers = llama_mod.quantize_layer_weights(
-        {"qkv": np.concatenate([q, k, v], axis=1), "o": o}, spec
+        {"qkv": llama_mod.fuse_qkv_rank_major(q, k, v, tp_size), "o": o},
+        spec, tp_size,
     )
     layers["attn_ln"] = jnp.asarray(attn_ln)
     layers["mlp_ln"] = jnp.asarray(mlp_ln)
@@ -325,6 +370,7 @@ def load_mixtral_params(model_config, spec: MixtralSpec,
         "final_ln": jnp.asarray(final_ln),
         "lm_head": jnp.asarray(lm_head.T).astype(jnp.bfloat16),
         "layers": layers,
-        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
+        "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank,
+                                    tp_size),
     }
     return params, None

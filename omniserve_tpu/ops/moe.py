@@ -52,6 +52,26 @@ def route_topk(
     return MoERouting(topv, slot.astype(jnp.int32), keep)
 
 
+def local_routing(routing: MoERouting, e_start: int, e_local: int,
+                  capacity: int) -> MoERouting:
+    """Remap a GLOBAL routing to one expert-parallel rank's local experts.
+
+    Slots for experts outside [e_start, e_start + e_local) move to the
+    local overflow slot and their keep bit drops, so dispatch scatters
+    only local tokens and combine weights them zero. Summing combine
+    outputs over the EP axis (psum) then counts every token's expert
+    exactly once — the TPU-idiomatic stand-in for all-to-all expert
+    exchange when tokens are replicated over the model axis.
+    """
+    lo = e_start * capacity
+    span = e_local * capacity
+    rel = routing.slot - lo
+    in_range = (rel >= 0) & (rel < span) & routing.keep
+    slot = jnp.where(in_range, rel, span)
+    return MoERouting(routing.combine_weights, slot.astype(jnp.int32),
+                      in_range)
+
+
 def dispatch(x: jnp.ndarray, routing: MoERouting, num_experts: int,
              capacity: int) -> jnp.ndarray:
     """[T, D] -> [E, C, D] (padding slot dropped)."""

@@ -70,6 +70,28 @@ def _linear_pspec(container, row_parallel: bool):
     return P(None, m, None) if row_parallel else P(None, None, m)
 
 
+def _expert_pspec(container):
+    """Pspec for a [L, E, ...] stacked expert weight: EXPERT axis over
+    ``model`` (expert parallelism — each rank holds full-width experts)."""
+    m = MODEL_AXIS
+    if isinstance(container, QuantizedWeightPerChannel):
+        return QuantizedWeightPerChannel(
+            qweight=P(None, m, None, None), s1_scales=P(None, m, None),
+            s1_szeros=P(None, m, None),
+        )
+    if isinstance(container, QuantizedWeightPerGroup):
+        return QuantizedWeightPerGroup(
+            qweight=P(None, m, None, None), s1_scales=P(None, m, None),
+            s2_scales=P(None, m, None, None),
+            s2_zeros=P(None, m, None, None),
+        )
+    if isinstance(container, QuantizedWeightW8):
+        return QuantizedWeightW8(
+            qweight=P(None, m, None, None), scales=P(None, m, None)
+        )
+    return P(None, m, None, None)  # w16 [L, E, K, N] bf16
+
+
 def params_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     layers = params["layers"]
     layer_specs = {
@@ -77,9 +99,16 @@ def params_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         "mlp_ln": P(None, None),
         "qkv": _linear_pspec(layers["qkv"], row_parallel=False),
         "o": _linear_pspec(layers["o"], row_parallel=True),
-        "gate_up": _linear_pspec(layers["gate_up"], row_parallel=False),
-        "down": _linear_pspec(layers["down"], row_parallel=True),
     }
+    if "w13" in layers:  # MoE (Mixtral): router replicated, experts EP
+        layer_specs["gate"] = P(None, None, None)
+        layer_specs["w13"] = _expert_pspec(layers["w13"])
+        layer_specs["w2"] = _expert_pspec(layers["w2"])
+    else:
+        layer_specs["gate_up"] = _linear_pspec(
+            layers["gate_up"], row_parallel=False
+        )
+        layer_specs["down"] = _linear_pspec(layers["down"], row_parallel=True)
     return {
         "embed": P(None, None),
         "final_ln": P(None),
@@ -150,6 +179,7 @@ def make_sharded_forward(
     params: Dict[str, Any],
     retrieval_pool: KVPool,
     streaming_pool: Optional[KVPool],
+    forward_fn=None,
 ):
     """shard_map'd llama_forward over (data, model); returns (fn, shardings).
 
@@ -163,6 +193,8 @@ def make_sharded_forward(
         llama_forward,
     )
 
+    if forward_fn is None:
+        forward_fn = llama_forward
     use_sparse = (not is_prefill) and spec.sparse_decode
     p_specs = params_pspecs(params)
     r_specs = pool_pspecs(retrieval_pool)
@@ -178,7 +210,7 @@ def make_sharded_forward(
     logits_spec = P(DATA_AXIS, None)
 
     fn = shard_map(
-        functools.partial(llama_forward, spec=spec, is_prefill=is_prefill),
+        functools.partial(forward_fn, spec=spec, is_prefill=is_prefill),
         mesh=mesh,
         in_specs=(p_specs, r_specs, s_specs, b_specs),
         out_specs=(logits_spec, r_specs, s_specs, sel_spec),

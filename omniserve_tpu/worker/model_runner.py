@@ -91,11 +91,6 @@ class ModelRunner:
             "YiForCausalLM",
         ):
             raise NotImplementedError(f"architecture {arch} not supported yet")
-        if is_moe and tp > 1:
-            raise NotImplementedError(
-                "tensor parallelism for MoE models is not wired yet"
-            )
-
         if is_moe:
             from omniserve_tpu.models import mixtral
 
@@ -119,8 +114,11 @@ class ModelRunner:
 
             from omniserve_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+            spec_cls = (
+                type(self.spec) if is_moe else LlamaSpec
+            )
             self.local_spec = dataclasses.replace(
-                LlamaSpec.from_model_config(
+                spec_cls.from_model_config(
                     model_config, sp_attn_config, tp_size=tp,
                     page_size=cache_config.page_size,
                 ),
@@ -138,8 +136,9 @@ class ModelRunner:
             # for an 8B model)
             if is_moe:
                 self.params = mixtral.make_random_params(
-                    self.spec, seed=model_config.seed,
+                    self.local_spec, seed=model_config.seed,
                     retrieval_flags=retrieval_flags, head_rank=head_rank,
+                    tp_size=tp,
                 )
             else:
                 self.params = llama.make_random_packed_params(
@@ -152,8 +151,9 @@ class ModelRunner:
             from omniserve_tpu.models.mixtral import load_mixtral_params
 
             self.params, kv_scales = load_mixtral_params(
-                model_config, self.spec,
+                model_config, self.local_spec,
                 retrieval_flags=retrieval_flags, head_rank=head_rank,
+                tp_size=tp,
             )
         else:
             from omniserve_tpu.models.weight_loader import load_llama_params
@@ -194,6 +194,7 @@ class ModelRunner:
                 fn, shardings = make_sharded_forward(
                     self.local_spec, mesh, is_prefill, self.params,
                     ce.retrieval_pool, ce.streaming_pool,
+                    forward_fn=self._model_forward,
                 )
                 self._forward[is_prefill] = fn
             self.params = jax.device_put(self.params, shardings["params"])

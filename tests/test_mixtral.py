@@ -1,7 +1,11 @@
 """Mixtral MoE: routing/dispatch/combine exactness + end-to-end forward."""
 
+import dataclasses
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from omniserve_tpu.models import mixtral
 from omniserve_tpu.models.llama import DecodeBatch, PrefillBatch
@@ -122,3 +126,90 @@ def test_mixtral_forward_prefill_decode():
     )
     assert logits2.shape == (b, spec.vocab)
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_local_routing_partitions_tokens():
+    """Across EP ranks, every kept global slot lands on exactly one rank."""
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((24, 8)), jnp.float32)
+    cap = 8
+    routing = moe_ops.route_topk(logits, top_k=2, capacity=cap)
+    kept_total = 0
+    for rank in range(4):
+        local = moe_ops.local_routing(routing, rank * 2, 2, cap)
+        kept_total += int(local.keep.sum())
+        assert int(local.slot.max()) <= 2 * cap
+    assert kept_total == int(routing.keep.sum())
+
+
+class TestExpertParallelEquivalence:
+    """EP over the virtual mesh must reproduce the single-chip forward.
+
+    Mirrors tests/test_parallel.py's TP test: identical global weights
+    (same seed), experts sharded [L, E/ep, ...] over the model axis,
+    attention head-sharded TP on the same axis (SURVEY §7.2 step 8's
+    'optional expert parallelism over the model axis')."""
+
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_ep_matches_single_chip(self, tp):
+        from omniserve_tpu.config import ParallelConfig
+        from omniserve_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            build_mesh,
+        )
+        from omniserve_tpu.parallel.sharding import make_sharded_forward
+        from test_parallel import build_prefill, build_decode
+
+        if len(jax.devices()) < tp:
+            pytest.skip("needs virtual devices")
+        page, hq, hkv, d_head = 16, 8, 4, 32
+        base = dict(
+            num_layers=2, hidden=256, intermediate=96, num_q_heads=hq,
+            num_kv_heads=hkv, head_dim=d_head, vocab=512, page_size=page,
+            weight_bits=4, act_bits=8, kv_bits=8, kv_zeros=True,
+            num_experts=4, top_k=2, capacity_factor=4.0,
+        )
+        spec1 = mixtral.MixtralSpec(**base)
+        params1 = mixtral.make_random_params(spec1, seed=0)
+        pool1 = make_kv_pool(2, 8, hkv, page, d_head, kv_bits=8)
+        tokens = list(range(1, 13))
+        batch1 = build_prefill(tokens)
+        logits1, rpool1, _, _ = mixtral.mixtral_forward(
+            params1, pool1, None, batch1, spec1, is_prefill=True
+        )
+        dlogits1, *_ = mixtral.mixtral_forward(
+            params1, rpool1, None, build_decode(7, len(tokens)), spec1,
+            is_prefill=False,
+        )
+
+        spec_n = mixtral.MixtralSpec(**dict(
+            base, num_q_heads=hq // tp, num_kv_heads=hkv // tp,
+            ep_size=tp, tp_axis=MODEL_AXIS, dp_axis=DATA_AXIS,
+        ))
+        params_n = mixtral.make_random_params(spec_n, seed=0, tp_size=tp)
+        mesh = build_mesh(ParallelConfig(tensor_parallel_size=tp))
+        pool_n = make_kv_pool(2, 8, hkv, page, d_head, kv_bits=8)
+        fwd, sh = make_sharded_forward(
+            spec_n, mesh, True, params_n, pool_n, None,
+            forward_fn=mixtral.mixtral_forward,
+        )
+        params_n = jax.device_put(params_n, sh["params"])
+        pool_n = jax.device_put(pool_n, sh["retrieval_pool"])
+        logits_n, rpool_n, _, _ = fwd(params_n, pool_n, None, batch1)
+
+        a = np.asarray(logits1, np.float32)[0]
+        b = np.asarray(logits_n, np.float32)[0]
+        np.testing.assert_allclose(a, b, atol=0.08, rtol=0.05)
+
+        dfwd, _ = make_sharded_forward(
+            spec_n, mesh, False, params_n, rpool_n, None,
+            forward_fn=mixtral.mixtral_forward,
+        )
+        dlogits_n, *_ = dfwd(
+            params_n, rpool_n, None, build_decode(7, len(tokens))
+        )
+        np.testing.assert_allclose(
+            np.asarray(dlogits1, np.float32)[0],
+            np.asarray(dlogits_n, np.float32)[0], atol=0.08, rtol=0.05,
+        )
