@@ -116,8 +116,16 @@ def _sdpa(
     valid: jnp.ndarray,  # [B, Hkv, S] bool
     sm_scale: float,
     n_rep: int,
-) -> jnp.ndarray:
-    """Batched single-query GQA attention with a per-(seq, head) key mask."""
+    return_lse: bool = False,
+):
+    """Batched single-query GQA attention with a per-(seq, head) key mask.
+
+    ``return_lse=True`` additionally returns the softmax statistics
+    (m = masked row max, l = sum exp(score - m)), both [B, Hq] — the
+    partial-attention contract for cross-device sequence-parallel
+    combines (parallel/sp.py). Rows with no valid keys give
+    (out=0, m=NEG_INF, l=0), which combine as a no-op.
+    """
     b, s, hkv, d = k.shape
     hq = q.shape[1]
     qf = q.astype(jnp.float32).reshape(b, hkv, n_rep, d)
@@ -126,10 +134,18 @@ def _sdpa(
     )
     mask = valid[:, :, None, :]
     scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
+    any_valid = mask.any(axis=-1, keepdims=True)
+    m = jnp.max(scores, axis=-1, keepdims=True)          # [B,Hkv,r,1]
+    m_safe = jnp.where(any_valid, m, 0.0)
+    p = jnp.where(mask, jnp.exp(scores - m_safe), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    probs = jnp.where(any_valid, p / jnp.maximum(l, 1e-30), 0.0)
     out = jnp.einsum("bhrs,bshd->bhrd", probs, v, precision=_PREC)
-    return out.reshape(b, hq, d)
+    out = out.reshape(b, hq, d)
+    if not return_lse:
+        return out
+    m_out = jnp.where(any_valid, m, NEG_INF).reshape(b, hq)
+    return out, m_out, l.reshape(b, hq)
 
 
 def paged_decode_attention(
@@ -151,7 +167,8 @@ def paged_decode_attention(
     page_idxes: Optional[jnp.ndarray] = None,  # [B, Hkv, n_sel] logical, -1 pad
     dec_sink_tokens: Optional[int] = None,
     dec_local_tokens: Optional[int] = None,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     """Reference paged decode attention with dual pools + dynamic sparsity.
 
     ``dec_sink_tokens``/``dec_local_tokens`` give the streaming decode
@@ -196,9 +213,12 @@ def paged_decode_attention(
     ranks_r = jnp.clip(head_rank, 0, pool.num_heads - 1)
     out_r = _sdpa(
         q, k_all[:, :, ranks_r], v_all[:, :, ranks_r], valid_r, sm_scale,
-        n_rep,
+        n_rep, return_lse=return_lse,
     )
     if streaming_pool is None:
+        if return_lse:
+            o, m, l = out_r
+            return o.astype(q.dtype), m, l
         return out_r.astype(q.dtype)
 
     # -- streaming ring pool path --
@@ -241,9 +261,15 @@ def paged_decode_attention(
     ranks_s = jnp.clip(head_rank, 0, streaming_pool.num_heads - 1)
     out_s = _sdpa(
         q, sk_all[:, :, ranks_s], sv_all[:, :, ranks_s], valid_s, sm_scale,
-        n_rep,
+        n_rep, return_lse=return_lse,
     )
     retr_q = jnp.repeat(head_is_retrieval, n_rep)  # [Hq]
+    if return_lse:
+        (o_r, m_r, l_r), (o_s, m_s, l_s) = out_r, out_s
+        o = jnp.where(retr_q[None, :, None], o_r, o_s).astype(q.dtype)
+        m = jnp.where(retr_q[None, :], m_r, m_s)
+        l = jnp.where(retr_q[None, :], l_r, l_s)
+        return o, m, l
     return jnp.where(retr_q[None, :, None], out_r, out_s).astype(q.dtype)
 
 

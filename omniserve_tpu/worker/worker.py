@@ -45,8 +45,12 @@ class Worker:
          sp_attn_config, load_format) = self._configs
         mesh = None
         if parallel_config is not None and parallel_config.world_size > 1:
-            from omniserve_tpu.parallel.mesh import build_mesh
+            from omniserve_tpu.parallel.mesh import (
+                build_mesh,
+                init_distributed,
+            )
 
+            init_distributed()  # multi-host DCN (no-op single-process)
             mesh = build_mesh(parallel_config)
         self.model_runner = ModelRunner(
             model_config, cache_config, scheduler_config,

@@ -136,3 +136,45 @@ class TestSpAttnConfig:
         scores = np.array([[0.1, 0.1], [0.9, 0.9]], dtype=np.float32)
         cfg = sparse_attn_init(static_sparsity=0.9, scores=scores)
         assert cfg.retrieval_head_flags.sum(axis=1).min() >= 1
+
+
+class TestDistributedInit:
+    def test_single_process_is_noop(self, monkeypatch):
+        from omniserve_tpu.parallel import mesh as mesh_mod
+
+        monkeypatch.delenv("OMNISERVE_COORDINATOR", raising=False)
+        monkeypatch.delenv("OMNISERVE_AUTO_DISTRIBUTED", raising=False)
+        assert mesh_mod.init_distributed() is False
+
+    def test_explicit_args_reach_jax(self, monkeypatch):
+        from omniserve_tpu.parallel import mesh as mesh_mod
+
+        calls = {}
+        monkeypatch.setattr(mesh_mod, "_DIST_INITIALIZED", False)
+        monkeypatch.setattr(
+            mesh_mod.jax.distributed, "initialize",
+            lambda **kw: calls.update(kw),
+        )
+        assert mesh_mod.init_distributed("host0:1234", 4, 1) is True
+        assert calls == {
+            "coordinator_address": "host0:1234",
+            "num_processes": 4,
+            "process_id": 1,
+        }
+        # idempotent
+        calls.clear()
+        assert mesh_mod.init_distributed() is True
+        assert calls == {}
+        monkeypatch.setattr(mesh_mod, "_DIST_INITIALIZED", False)
+
+    def test_multihost_mesh_requires_dp_multiple(self, monkeypatch):
+        import pytest
+
+        from omniserve_tpu.config import ParallelConfig
+        from omniserve_tpu.parallel import mesh as mesh_mod
+
+        monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="data axis"):
+            mesh_mod.build_mesh(ParallelConfig(
+                tensor_parallel_size=2, data_parallel_size=1,
+            ))
