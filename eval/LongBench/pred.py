@@ -103,22 +103,33 @@ def main() -> None:
     parser.add_argument("--max-prompt-len", type=int, default=120000)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--out-dir", type=str, default="pred")
+    parser.add_argument(
+        "--data-dir", type=str, default=None,
+        help="load {task}.jsonl from this directory instead of "
+        "downloading THUDM/LongBench (offline runs)",
+    )
     args = parser.parse_args()
 
-    try:
-        from datasets import load_dataset
-    except ImportError:
-        raise SystemExit(
-            "the `datasets` package is required for LongBench; install it "
-            "or run the NIAH eval instead"
-        )
+    if args.data_dir is None:
+        try:
+            from datasets import load_dataset
+        except ImportError:
+            raise SystemExit(
+                "the `datasets` package is required for LongBench; "
+                "install it, pass --data-dir with local jsonl files, or "
+                "run the NIAH eval instead"
+            )
 
     engine = LLMEngine.from_engine_args(EngineArgs.from_cli_args(args))
     tokenizer = engine.tokenizer
     os.makedirs(args.out_dir, exist_ok=True)
 
     for name in args.datasets:
-        data = load_dataset("THUDM/LongBench", name, split="test")
+        if args.data_dir is not None:
+            with open(os.path.join(args.data_dir, f"{name}.jsonl")) as f:
+                data = [json.loads(line) for line in f if line.strip()]
+        else:
+            data = load_dataset("THUDM/LongBench", name, split="test")
         out_path = os.path.join(args.out_dir, f"{name}.jsonl")
         with open(out_path, "w") as f:
             for i, sample in enumerate(data):
