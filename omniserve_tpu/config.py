@@ -161,6 +161,10 @@ class ParallelConfig:
     sequence_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     expert_parallel_size: int = 1
+    # First device this config's mesh/replica uses (jax.devices() index).
+    # Engine-level DP pins replica i to devices [i*tp, (i+1)*tp); not part
+    # of world_size.
+    device_offset: int = 0
 
     @property
     def world_size(self) -> int:

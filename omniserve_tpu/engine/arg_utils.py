@@ -44,6 +44,7 @@ class EngineArgs:
     data_parallel_size: int = 1
     sequence_parallel_size: int = 1
     pipeline_parallel_size: int = 1
+    device_offset: int = 0  # set by DataParallelEngine per replica
     # memory
     block_size: int = PAGE_SIZE
     gpu_memory_utilization: float = 0.9
@@ -209,6 +210,7 @@ class EngineArgs:
             data_parallel_size=self.data_parallel_size,
             sequence_parallel_size=self.sequence_parallel_size,
             pipeline_parallel_size=self.pipeline_parallel_size,
+            device_offset=self.device_offset,
         )
         scheduler_config = SchedulerConfig(
             max_num_batched_tokens=self.max_num_batched_tokens,

@@ -113,7 +113,13 @@ class LLMEngine:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_engine_args(cls, engine_args) -> "LLMEngine":
+    def from_engine_args(cls, engine_args):
+        if getattr(engine_args, "data_parallel_size", 1) > 1:
+            # engine DP = one replica per data shard on its own device
+            # slice (see engine/dp_router.py)
+            from omniserve_tpu.engine.dp_router import DataParallelEngine
+
+            return DataParallelEngine(engine_args)
         configs = engine_args.create_engine_configs()
         return cls(**configs)
 

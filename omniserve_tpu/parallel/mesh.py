@@ -91,11 +91,13 @@ def build_mesh(parallel_config: ParallelConfig, devices=None) -> Mesh:
             (dp // n_proc, sp, tp), (n_proc, 1, 1)
         )
         return Mesh(dev, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+    off = parallel_config.device_offset
     if devices is None:
-        devices = jax.devices()
+        devices = jax.devices()[off:]
     if need > len(devices):
         raise ValueError(
-            f"mesh needs {need} devices, only {len(devices)} available"
+            f"mesh needs {need} devices at offset {off}, only "
+            f"{len(devices)} available"
         )
     dev = np.asarray(devices[:need]).reshape(dp, sp, tp)
     return Mesh(dev, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))

@@ -75,9 +75,10 @@ class ModelRunner:
         )
         if parallel_config and parallel_config.data_parallel_size > 1:
             raise NotImplementedError(
-                "engine-level data parallelism is not wired yet; run one "
-                "engine per data shard (the parallel/ library supports DP "
-                "shardings for library use — see dryrun_multichip)"
+                "a single ModelRunner replica is always dp=1; use "
+                "engine.dp_router.DataParallelEngine (or -dp N through "
+                "LLMEngine.from_engine_args), which runs one replica per "
+                "data shard on its own device slice"
             )
         tp = self.tp_size
         if tp > 1 and mesh is None:
@@ -207,6 +208,18 @@ class ModelRunner:
                 ),
             )
         else:
+            if parallel_config and parallel_config.device_offset:
+                # DP replica on a single chip: commit params + pools to
+                # this replica's device; jit then runs there and batch
+                # arrays (uncommitted) follow the committed operands.
+                dev = jax.devices()[parallel_config.device_offset]
+                self.params = jax.device_put(self.params, dev)
+                ce = self.cache_engine
+                ce.set_pools(
+                    jax.device_put(ce.retrieval_pool, dev),
+                    None if ce.streaming_pool is None
+                    else jax.device_put(ce.streaming_pool, dev),
+                )
             for is_prefill in (True, False):
                 self._forward[is_prefill] = jax.jit(
                     functools.partial(
