@@ -90,11 +90,21 @@ rng = np.random.default_rng(7)
 
 class TestPrefillDecodeConsistency:
     @pytest.mark.parametrize(
-        "wbits,abits,kvbits",
-        [(16, 16, 16), (4, 8, 16)],
+        "wbits,abits,kvbits,kvz,atol",
+        [
+            (16, 16, 16, False, 0.35),
+            (4, 8, 16, False, 0.35),
+            # quantized-KV rows: path A attends the in-register fresh KV,
+            # path B re-reads the pool's kv8/kv4 round-trip, so the
+            # tolerance absorbs the KV quantization error on top of bf16
+            (4, 8, 8, True, 0.45),
+            (4, 8, 4, True, 0.80),
+        ],
     )
-    def test_decode_matches_extended_prefill(self, wbits, abits, kvbits):
-        spec = tiny_spec(weight_bits=wbits, act_bits=abits, kv_bits=kvbits)
+    def test_decode_matches_extended_prefill(self, wbits, abits, kvbits,
+                                             kvz, atol):
+        spec = tiny_spec(weight_bits=wbits, act_bits=abits,
+                         kv_bits=kvbits, kv_zeros=kvz)
         params = make_random_params(spec, seed=0)
         tokens = rng.integers(0, spec.vocab, size=10).tolist()
         table = [3, 1]
@@ -121,7 +131,7 @@ class TestPrefillDecodeConsistency:
         b = np.asarray(logits_b[0], np.float32)
         # bf16 residual stream + cache round-trip: compare top-1 + values
         assert np.argmax(a) == np.argmax(b)
-        np.testing.assert_allclose(a, b, atol=0.35, rtol=0.1)
+        np.testing.assert_allclose(a, b, atol=atol, rtol=0.1)
 
     def test_w4a8kv4_runs_and_is_finite(self):
         spec = tiny_spec(weight_bits=4, act_bits=8, kv_bits=4, kv_zeros=True)
