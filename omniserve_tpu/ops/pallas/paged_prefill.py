@@ -18,6 +18,7 @@ LServe sparse prefill on the paged path too.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -272,10 +273,13 @@ def paged_prefill_attention(
             tile[None, :] < n_pages[:, None], tile[None, :], -1
         )
     sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
-    # long histories: per-grid-step fixed cost dominates, so stream up to
-    # ~2K tokens of KV per step (the decode kernel learned the same
-    # lesson; the f32 qk temporaries cap how far this can go in VMEM)
-    kv_cap = max(8, 2048 // page_size)
+    # long histories: per-grid-step fixed cost dominates (~10 us/step x
+    # O(T^2 / tile_q / chunk) steps at 256K), so stream as many KV tokens
+    # per step as VMEM affords. The f32 qk temporaries cap the chunk;
+    # OMNISERVE_PREFILL_KV_CHUNK + OMNISERVE_PREFILL_VMEM_MB sweep it on
+    # hardware (defaults: the measured v5e sweet spot).
+    kv_chunk_tok = int(os.environ.get("OMNISERVE_PREFILL_KV_CHUNK", "2048"))
+    kv_cap = max(8, kv_chunk_tok // page_size)
     g = _choose_chunk(sel_logic.shape[-1], cap=kv_cap)
     sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g)
     kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
@@ -283,7 +287,8 @@ def paged_prefill_attention(
     n_chunks = n_tiles // g
     rows_pg = kd.shape[-2]
 
-    tq = min(tile_q, tq_total)
+    tq = min(int(os.environ.get("OMNISERVE_PREFILL_TILE_Q", tile_q)),
+             tq_total)
     q_tiles = _cdiv(tq_total, tq)
     if q_tiles * tq != tq_total:
         pad = q_tiles * tq - tq_total
@@ -395,7 +400,10 @@ def paged_prefill_attention(
                                        q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=(
+                int(os.environ.get("OMNISERVE_PREFILL_VMEM_MB", "100"))
+                * 1024 * 1024
+            ),
         ),
         interpret=interpret,
     )(sel_logic.astype(jnp.int32), q_start, q_count,
