@@ -153,6 +153,14 @@ register_conv_template(
         stop_str="<|im_end|>",
     )
 )
+register_conv_template(
+    Conversation(
+        name="qwen",
+        roles=("user", "assistant"),
+        style="chatml",
+        stop_str="<|im_end|>",
+    )
+)
 
 
 def get_conv_template_name(model_path: str) -> str:
@@ -168,4 +176,6 @@ def get_conv_template_name(model_path: str) -> str:
         return "vicuna_v1.1"
     if "yi-" in p and "chat" in p:
         return "yi-chat"
+    if "qwen" in p:
+        return "qwen"
     return "raw"

@@ -90,6 +90,9 @@ class LlamaSpec:
     ctx_sink: int = 128
     ctx_local: int = 8192
     tie_word_embeddings: bool = False
+    # QKV projection bias (Qwen-1.5/Qwen2 family; o_proj stays bias-free,
+    # reference serves Qwen-1.5-72B in its headline table README.md:269)
+    attn_bias: bool = False
     # Parallelism: when tp_axis is set the spec describes the PER-RANK model
     # (local head/channel counts); row-parallel (o/down) outputs are
     # psum'ed over tp_axis inside shard_map.
@@ -178,6 +181,10 @@ class LlamaSpec:
             kv_zeros=model_config.kv_zeros,
             group_size=model_config.group_size,
             tie_word_embeddings=getattr(hf, "tie_word_embeddings", False),
+            attn_bias=(
+                bool(getattr(hf, "attention_bias", False))
+                or getattr(hf, "model_type", "") == "qwen2"
+            ),
             **kwargs,
         )
 
@@ -364,6 +371,10 @@ def make_random_packed_params(
         "gate_up": stack(keys[2], 2 * I, D),
         "down": stack(keys[3], D, I),
     }
+    if spec.attn_bias:
+        layers["qkv_bias"] = (
+            jax.random.normal(keys[6], (L, qkv_out), jnp.float32) * 0.02
+        )
     params = {
         "embed": jax.random.normal(keys[4], (spec.vocab, D), jnp.bfloat16)
         * 0.02,
@@ -680,6 +691,10 @@ def _layer_step(
     x_q, x_scale, x_sum = _norm_quant(h, lp["attn_ln"][layer_idx], spec)
     qkv = _apply_linear(lp["qkv"], spec, x_q, x_scale, x_sum,
                         layer=layer_idx)
+    if spec.attn_bias:
+        qkv = (
+            qkv.astype(jnp.float32) + lp["qkv_bias"][layer_idx]
+        ).astype(qkv.dtype)
     q, k, v = _split_qkv(qkv, spec, t)
     q = apply_rope(q, batch.positions, inv_freq)
     k = apply_rope(k, batch.positions, inv_freq)

@@ -105,6 +105,8 @@ def load_packed_params(
             layers[name] = QuantizedWeightPerChannel(**fields)
         else:
             layers[name] = QuantizedWeightPerGroup(**fields)
+    if "qkv_bias" in z:
+        layers["qkv_bias"] = jnp.asarray(z["qkv_bias"], np.float32)
     embed = jnp.asarray(z["embed"]).astype(jnp.bfloat16)
     lm_head = (jnp.asarray(z["lm_head"]) if "lm_head" in z
                else jnp.asarray(z["embed"])).T.astype(jnp.bfloat16)
@@ -159,6 +161,10 @@ def load_llama_params(
     down = np.zeros((L, D, I), np.float32)
     attn_ln = np.ones((L, D), np.float32)
     mlp_ln = np.ones((L, D), np.float32)
+    # QKV bias (Qwen2 / attention_bias configs); o_proj has no bias
+    q_b = np.zeros((L, q_size), np.float32) if spec.attn_bias else None
+    k_b = np.zeros((L, kv_size), np.float32) if spec.attn_bias else None
+    v_b = np.zeros((L, kv_size), np.float32) if spec.attn_bias else None
     embed = None
     lm_head = None
     final_ln = np.ones((D,), np.float32)
@@ -189,6 +195,12 @@ def load_llama_params(
             k[layer_of(name)] = w
         elif "v_proj.weight" in name:
             v[layer_of(name)] = w
+        elif "q_proj.bias" in name and q_b is not None:
+            q_b[layer_of(name)] = w
+        elif "k_proj.bias" in name and k_b is not None:
+            k_b[layer_of(name)] = w
+        elif "v_proj.bias" in name and v_b is not None:
+            v_b[layer_of(name)] = w
         elif "o_proj.weight" in name:
             o[layer_of(name)] = w
         elif "gate_proj.weight" in name:
@@ -223,6 +235,12 @@ def load_llama_params(
         "gate_up": jnp.asarray(fuse_gate_up_rank_major(gate, up, tp_size)),
         "down": jnp.asarray(down),
     }
+    if spec.attn_bias:
+        # same rank-major channel order as the fused qkv weight ([L, N]
+        # arrays split/concat on axis 1 like the [L, N, K] weights)
+        fp_layers["qkv_bias"] = jnp.asarray(
+            fuse_qkv_rank_major(q_b, k_b, v_b, tp_size)
+        )
     params = {
         "embed": jnp.asarray(embed).astype(jnp.bfloat16),
         "final_ln": jnp.asarray(final_ln),

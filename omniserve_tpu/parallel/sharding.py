@@ -100,6 +100,8 @@ def params_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         "qkv": _linear_pspec(layers["qkv"], row_parallel=False),
         "o": _linear_pspec(layers["o"], row_parallel=True),
     }
+    if "qkv_bias" in layers:  # column-parallel like the qkv weight
+        layer_specs["qkv_bias"] = P(None, MODEL_AXIS)
     if "w13" in layers:  # MoE (Mixtral): router replicated, experts EP
         layer_specs["gate"] = P(None, None, None)
         layer_specs["w13"] = _expert_pspec(layers["w13"])

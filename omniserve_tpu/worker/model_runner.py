@@ -89,7 +89,7 @@ class ModelRunner:
         is_moe = arch == "MixtralForCausalLM"
         if not is_moe and arch not in (
             "LlamaForCausalLM", "MistralForCausalLM", "LLaMAForCausalLM",
-            "YiForCausalLM",
+            "YiForCausalLM", "Qwen2ForCausalLM",
         ):
             raise NotImplementedError(f"architecture {arch} not supported yet")
         if is_moe:

@@ -144,6 +144,13 @@ def convert(model_path, quant_path, w_bit, group_size, kv_per_tensor,
                 stacked.setdefault(f"{fname}.{field}", []).append(
                     np.asarray(arr)
                 )
+        if f"{base}.self_attn.q_proj.bias" in fake:
+            # Qwen2-style QKV bias: kept fp32, fused in qkv channel order
+            # (packed checkpoints are tp=1 layout)
+            stacked.setdefault("qkv_bias", []).append(np.concatenate([
+                _np(fake[f"{base}.self_attn.{p}.bias"])
+                for p in ("q_proj", "k_proj", "v_proj")
+            ]))
         stacked.setdefault("attn_ln", []).append(
             _np(fake[f"{base}.input_layernorm.weight"])
         )
