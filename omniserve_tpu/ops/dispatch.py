@@ -84,6 +84,21 @@ def paged_prefill_attention(*args, **kwargs):
     per-row position map instead.
     """
     if _on_tpu():
+        kv_bits = kwargs.get("kv_bits", args[8] if len(args) > 8 else None)
+        # default off until validated on hardware; flip the default once
+        # the long-context sweep runs green with it
+        single_pass = (
+            os.environ.get("OMNISERVE_PREFILL_SINGLE_PASS", "0") == "1"
+        )
+        if kv_bits in (4, 8) and single_pass:
+            try:
+                from omniserve_tpu.ops.pallas import prefill_single_pass
+
+                return prefill_single_pass.paged_prefill_single_pass(
+                    *args, **kwargs
+                )
+            except ImportError:
+                pass
         try:
             from omniserve_tpu.ops.pallas import paged_prefill
 

@@ -1,4 +1,4 @@
-"""Single-pass Pallas TPU paged decode attention (kv4).
+"""Single-pass Pallas TPU paged decode attention (kv4/kv8).
 
 Replaces the two-stage (XLA page gather -> flash kernel) design of
 ``paged_attention.py`` for the hot QServe decode path. The KV pools stay
@@ -54,6 +54,11 @@ def _cdiv(a: int, b: int) -> int:
 def supports(kv_bits: int, page_size: int, head_dim: int) -> bool:
     """Whether the single-pass kernel can serve this config."""
     bk = page_size // 4
+    if kv_bits == 8:
+        # kv8 rows ARE tokens (no nibble packing): per-page DMA offsets
+        # land at page_size-row granularity, which must stay u8
+        # sublane-tile (32) aligned
+        return page_size % 32 == 0 and head_dim % 128 == 0
     return (
         kv_bits == 4
         and page_size % 8 == 0
@@ -92,14 +97,19 @@ def _sp_kernel(
     g: int,
     n_heads: int,
     band_sink: int,
+    kv_bits: int = 4,
     ring_span: int = 0,       # ring capacity in pages (streaming calls)
     ring_sink_tok: int = 0,   # first ring-block position (tokens)
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
-    rows = page_size // 2          # byte rows per page
-    bk = page_size // 4            # tokens per nibble block
+    kv4 = kv_bits == 4
+    rows = page_size // 2 if kv4 else page_size  # byte rows per page
+    bk = page_size // 4            # tokens per nibble block (kv4)
+    # kv4 unpacks to 128+v (magic bias; per-tensor storage is q+8 -> 136+q
+    # on the MXU); kv8 rows convert verbatim (q+128 per-tensor)
+    pt_bias = 136.0 if kv4 else 128.0
     step = b * n_chunks + j
     slot = jax.lax.rem(step, 2)
 
@@ -194,6 +204,10 @@ def _sp_kernel(
             # natural per-page layout. One dot per head covers the chunk.
             flat = buf[slot]                           # [H, G*R, D] u8
             d_ = flat.shape[2]
+            if not kv4:                                # kv8: rows ARE
+                return flat.reshape(                   # tokens, every u8
+                    n_heads * lanes, d_                # exact in bf16
+                ).astype(jnp.bfloat16)
             w32 = pltpu.bitcast(
                 flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
             )
@@ -228,10 +242,11 @@ def _sp_kernel(
             if kv_zeros:
                 s0 = sc_ref[0, h, 0][None, :]
                 s1 = sc_ref[0, h, 1][None, :]      # = s*(z+128)
+                if not kv4:        # kv8 tokens carry no +128 magic bias
+                    s1 = s1 - 128.0 * s0
                 qk = (qk_int * s0 - s1 * q_sum) * sm_scale
             else:
-                # per-tensor kv4: stored = clip+8, magic adds 128 -> -136
-                qk = (qk_int - 136.0 * q_sum) * (pt_ref[0] * sm_scale)
+                qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
             qk = jnp.where(valid, qk, MASK_VALUE)
 
             m_prev = m_ref[rs, 0][:, None]
@@ -247,15 +262,18 @@ def _sp_kernel(
 
             if kv_zeros:
                 p_bf = (pexp * sc_ref[0, h, 2][None, :]).astype(jnp.bfloat16)
+                z3 = sc_ref[0, h, 3][None, :]      # = z+128
+                if not kv4:                        # kv8: plain z
+                    z3 = z3 - 128.0
                 # corr from the SAME bf16-rounded weights the PV dots use
                 corr = jnp.sum(
-                    p_bf.astype(jnp.float32) * sc_ref[0, h, 3][None, :],
+                    p_bf.astype(jnp.float32) * z3,
                     axis=1, keepdims=True,
                 )
                 v_scale = 1.0
             else:
                 p_bf = pexp.astype(jnp.bfloat16)
-                corr = 136.0 * jnp.sum(
+                corr = pt_bias * jnp.sum(
                     p_bf.astype(jnp.float32), axis=1, keepdims=True
                 )
                 v_scale = pt_ref[1]
@@ -319,7 +337,7 @@ def paged_mqa_attention_single_pass(
     ring_sink_tokens: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """kv4 decode attention reading pages straight from the pool in HBM.
+    """kv4/kv8 decode attention reading pages straight from the pool in HBM.
 
     ``band_sink_tokens >= 0`` enables the streaming decode band: only
     positions < band_sink_tokens or >= length - band_local_tokens are
@@ -374,6 +392,7 @@ def paged_mqa_attention_single_pass(
         g=g,
         n_heads=hkv,
         band_sink=int(band_sink_tokens),
+        kv_bits=4 if rows * 2 == page_size else 8,
         ring_span=int(ring_span_pages),
         ring_sink_tok=int(ring_sink_tokens),
     )
@@ -447,11 +466,14 @@ def _sp_kernel_ph(
     n_chunks: int,
     g: int,
     n_heads: int,
+    kv_bits: int = 4,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
-    rows = page_size // 2
+    kv4 = kv_bits == 4
+    rows = page_size // 2 if kv4 else page_size
+    pt_bias = 136.0 if kv4 else 128.0
     step = b * n_chunks + j
     slot = jax.lax.rem(step, 2)
 
@@ -522,6 +544,10 @@ def _sp_kernel_ph(
         def nib_tokens(buf):
             flat = buf[slot]
             d_ = flat.shape[2]
+            if not kv4:                                # kv8: rows ARE
+                return flat.reshape(                   # tokens, every u8
+                    n_heads * lanes, d_                # exact in bf16
+                ).astype(jnp.bfloat16)
             w32 = pltpu.bitcast(
                 flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
             )
@@ -558,9 +584,11 @@ def _sp_kernel_ph(
             if kv_zeros:
                 s0 = sc_buf[slot, h, 0][None, :]
                 s1 = sc_buf[slot, h, 1][None, :]
+                if not kv4:        # kv8 tokens carry no +128 magic bias
+                    s1 = s1 - 128.0 * s0
                 qk = (qk_int * s0 - s1 * q_sum) * sm_scale
             else:
-                qk = (qk_int - 136.0 * q_sum) * (pt_ref[0] * sm_scale)
+                qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
             qk = jnp.where(valid, qk, MASK_VALUE)
 
             m_prev = m_ref[rs, 0][:, None]
@@ -580,11 +608,13 @@ def _sp_kernel_ph(
                 p_bf = jnp.where(
                     valid, pexp * sc_buf[slot, h, 2][None, :], 0.0
                 ).astype(jnp.bfloat16)
+                z3 = sc_buf[slot, h, 3][None, :]   # = z+128
+                if not kv4:                        # kv8: plain z
+                    z3 = z3 - 128.0
                 corr = jnp.sum(
                     jnp.where(
                         valid,
-                        p_bf.astype(jnp.float32)
-                        * sc_buf[slot, h, 3][None, :],
+                        p_bf.astype(jnp.float32) * z3,
                         0.0,
                     ),
                     axis=1, keepdims=True,
@@ -592,7 +622,7 @@ def _sp_kernel_ph(
                 v_scale = 1.0
             else:
                 p_bf = pexp.astype(jnp.bfloat16)
-                corr = 136.0 * jnp.sum(
+                corr = pt_bias * jnp.sum(
                     p_bf.astype(jnp.float32), axis=1, keepdims=True
                 )
                 v_scale = pt_ref[1]
@@ -626,7 +656,7 @@ def paged_mqa_attention_single_pass_ph(
     pt_scales=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """kv4 dynamic-sparse decode: PER-HEAD page lists, pages and their
+    """kv4/kv8 dynamic-sparse decode: PER-HEAD page lists, pages and their
     quant planes DMA'd straight from the HBM pools (XLA gathers of pool
     slices lower to while-loops costing ~0.3 ms/index on TPU)."""
     b, hkv, n_rep, d = q.shape
@@ -676,6 +706,7 @@ def paged_mqa_attention_single_pass_ph(
         n_chunks=n_chunks,
         g=g,
         n_heads=hkv,
+        kv_bits=4 if rows * 2 == page_size else 8,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

@@ -1,4 +1,4 @@
-"""Single-pass (HBM-direct) kv4 decode attention vs the jnp reference."""
+"""Single-pass (HBM-direct) kv4/kv8 decode attention vs the jnp reference."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -11,8 +11,9 @@ from omniserve_tpu.ops.pallas import decode_attention as sp
 rng = np.random.default_rng(7)
 
 
-def build_pool(page, n_pages, h, d, lengths, tables, kv_zeros, layers=2):
-    pool = make_kv_pool(layers, n_pages, h, page, d, kv_bits=4,
+def build_pool(page, n_pages, h, d, lengths, tables, kv_zeros, layers=2,
+               kv_bits=4):
+    pool = make_kv_pool(layers, n_pages, h, page, d, kv_bits=kv_bits,
                         kv_zeros=kv_zeros)
     ks, vs = [], []
     for lay in range(layers):
@@ -25,7 +26,7 @@ def build_pool(page, n_pages, h, d, lengths, tables, kv_zeros, layers=2):
             pool = append_kv(
                 pool, lay, jnp.asarray(k), jnp.asarray(v),
                 jnp.asarray(pages), jnp.asarray(pos % page),
-                page_size=page, kv_bits=4, kv_zeros=kv_zeros,
+                page_size=page, kv_bits=kv_bits, kv_zeros=kv_zeros,
             )
             k_all.append(k)
             v_all.append(v)
@@ -34,16 +35,18 @@ def build_pool(page, n_pages, h, d, lengths, tables, kv_zeros, layers=2):
     return pool, ks, vs
 
 
+@pytest.mark.parametrize("kv_bits", [4, 8])
 @pytest.mark.parametrize("page", [64, 128])
 @pytest.mark.parametrize("kv_zeros", [True, False])
-def test_single_pass_matches_reference(page, kv_zeros):
+def test_single_pass_matches_reference(page, kv_zeros, kv_bits):
     h, d, n_rep = 2, 128, 4
     lengths = [page * 3 + 7, page, 1]
     b = len(lengths)
     max_blocks = 4
     n_pages = b * max_blocks + 1
     tables = np.arange(b * max_blocks, dtype=np.int32).reshape(b, max_blocks)
-    pool, _, _ = build_pool(page, n_pages, h, d, lengths, tables, kv_zeros)
+    pool, _, _ = build_pool(page, n_pages, h, d, lengths, tables, kv_zeros,
+                            kv_bits=kv_bits)
 
     q = rng.normal(size=(b, h * n_rep, d)).astype(np.float32)
     layer = 1
@@ -51,7 +54,7 @@ def test_single_pass_matches_reference(page, kv_zeros):
 
     want = attention_ref.paged_decode_attention(
         jnp.asarray(q), pool, layer, jnp.asarray(tables),
-        jnp.asarray(lengths, jnp.int32), sm, page, 4, kv_zeros,
+        jnp.asarray(lengths, jnp.int32), sm, page, kv_bits, kv_zeros,
     )
 
     n_pg = (np.asarray(lengths) + page - 1) // page
@@ -79,11 +82,15 @@ def test_single_pass_matches_reference(page, kv_zeros):
 def test_supports_matrix():
     assert sp.supports(4, 128, 128)
     assert sp.supports(4, 64, 128)
-    assert not sp.supports(8, 128, 128)
+    assert sp.supports(8, 128, 128)
+    assert sp.supports(8, 64, 128)
+    assert not sp.supports(8, 48, 128)
     assert not sp.supports(4, 48, 128)
+    assert not sp.supports(16, 128, 128)
 
 
-def test_per_head_single_pass_matches_reference():
+@pytest.mark.parametrize("kv_bits", [4, 8])
+def test_per_head_single_pass_matches_reference(kv_bits):
     """Dynamic-sparse (per-head page lists) single-pass kernel."""
     page, kv_zeros = 128, True
     h, d, n_rep = 2, 128, 4
@@ -92,7 +99,8 @@ def test_per_head_single_pass_matches_reference():
     max_blocks = 4
     n_pages = b * max_blocks + 1
     tables = np.arange(b * max_blocks, dtype=np.int32).reshape(b, max_blocks)
-    pool, _, _ = build_pool(page, n_pages, h, d, lengths, tables, kv_zeros)
+    pool, _, _ = build_pool(page, n_pages, h, d, lengths, tables, kv_zeros,
+                            kv_bits=kv_bits)
 
     q = rng.normal(size=(b, h * n_rep, d)).astype(np.float32)
     layer = 0
@@ -105,7 +113,7 @@ def test_per_head_single_pass_matches_reference():
 
     want = attention_ref.paged_decode_attention(
         jnp.asarray(q), pool, layer, jnp.asarray(tables),
-        jnp.asarray(lengths, jnp.int32), sm, page, 4, kv_zeros,
+        jnp.asarray(lengths, jnp.int32), sm, page, kv_bits, kv_zeros,
         page_idxes=jnp.asarray(np.repeat(page_idxes, 1, axis=1)),
         head_is_retrieval=jnp.ones((h,), bool),
         head_rank=jnp.arange(h),
