@@ -178,12 +178,6 @@ class ParallelConfig:
     def __post_init__(self) -> None:
         if self.pipeline_parallel_size < 1:
             raise ValueError("pipeline_parallel_size must be >= 1")
-        if self.pipeline_parallel_size > 1:
-            # explicit, like the reference (config.py:284-285) — silently
-            # accepting pp>1 would run single-stage and mislead
-            raise NotImplementedError(
-                "pipeline parallelism is not supported yet"
-            )
 
 
 @dataclasses.dataclass

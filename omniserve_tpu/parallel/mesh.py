@@ -1,10 +1,12 @@
 """Device mesh construction for TP/DP/SP (TPU-native parallelism).
 
 Replaces the reference's NCCL scaffolding (worker/worker.py:78-103) with a
-``jax.sharding.Mesh``: axes (data, sequence, model). TP shards
+``jax.sharding.Mesh``: axes (data, sequence, pipe, model). TP shards
 attention-head and MLP-channel dims over ``model`` (partition specs in
 omniserve_tpu.parallel.sharding); sequence parallelism shards long-context
-prefill over ``sequence``; DP replicates over ``data``.
+prefill over ``sequence``; PP shards the stacked layer axis over ``pipe``
+(parallel.pp); DP replicates over ``data``. ``model`` stays innermost so
+TP psums ride nearest-neighbor ICI; the pipe hop is a neighbor permute.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from omniserve_tpu.config import ParallelConfig
 
 DATA_AXIS = "data"
 SEQ_AXIS = "sequence"
+PIPE_AXIS = "pipe"
 MODEL_AXIS = "model"
 
 _DIST_INITIALIZED = False
@@ -71,8 +74,9 @@ def init_distributed(
 def build_mesh(parallel_config: ParallelConfig, devices=None) -> Mesh:
     dp = parallel_config.data_parallel_size
     sp = parallel_config.sequence_parallel_size
+    pp = parallel_config.pipeline_parallel_size
     tp = parallel_config.tensor_parallel_size
-    need = dp * sp * tp
+    need = dp * sp * pp * tp
     if devices is None and jax.process_count() > 1:
         # Multi-host: lay DCN on the outermost (data) axis so TP/SP
         # collectives stay on ICI within a host/slice and only DP
@@ -88,9 +92,9 @@ def build_mesh(parallel_config: ParallelConfig, devices=None) -> Mesh:
         from jax.experimental import mesh_utils
 
         dev = mesh_utils.create_hybrid_device_mesh(
-            (dp // n_proc, sp, tp), (n_proc, 1, 1)
+            (dp // n_proc, sp, pp, tp), (n_proc, 1, 1, 1)
         )
-        return Mesh(dev, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+        return Mesh(dev, (DATA_AXIS, SEQ_AXIS, PIPE_AXIS, MODEL_AXIS))
     off = parallel_config.device_offset
     if devices is None:
         devices = jax.devices()[off:]
@@ -99,5 +103,5 @@ def build_mesh(parallel_config: ParallelConfig, devices=None) -> Mesh:
             f"mesh needs {need} devices at offset {off}, only "
             f"{len(devices)} available"
         )
-    dev = np.asarray(devices[:need]).reshape(dp, sp, tp)
-    return Mesh(dev, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+    dev = np.asarray(devices[:need]).reshape(dp, sp, pp, tp)
+    return Mesh(dev, (DATA_AXIS, SEQ_AXIS, PIPE_AXIS, MODEL_AXIS))

@@ -73,6 +73,9 @@ class ModelRunner:
         self.tp_size = (
             parallel_config.tensor_parallel_size if parallel_config else 1
         )
+        self.pp_size = (
+            parallel_config.pipeline_parallel_size if parallel_config else 1
+        )
         if parallel_config and parallel_config.data_parallel_size > 1:
             raise NotImplementedError(
                 "a single ModelRunner replica is always dp=1; use "
@@ -81,8 +84,9 @@ class ModelRunner:
                 "data shard on its own device slice"
             )
         tp = self.tp_size
-        if tp > 1 and mesh is None:
-            raise ValueError("tensor parallelism needs a device mesh")
+        pp = self.pp_size
+        if (tp > 1 or pp > 1) and mesh is None:
+            raise ValueError("tensor/pipeline parallelism needs a device mesh")
 
         arch = (getattr(model_config.hf_config, "architectures", None)
                 or ["LlamaForCausalLM"])[0]
@@ -184,7 +188,40 @@ class ModelRunner:
         self._rng = jax.random.PRNGKey(model_config.seed)
 
         self._forward = {}
-        if tp > 1:
+        if pp > 1:
+            # pipeline(+tensor) parallel: stacked [L, ...] weights and the
+            # [L, ...] pools shard over the pipe axis; GPipe microbatch
+            # rotation keeps every stage busy at decode (parallel/pp.py —
+            # the reference raises for pp>1, config.py:284-285).
+            if is_moe:
+                raise NotImplementedError(
+                    "pipeline parallelism is llama-family only for now"
+                )
+            if self.spec.num_layers % pp:
+                raise ValueError(
+                    f"num_layers {self.spec.num_layers} not divisible by "
+                    f"pipeline_parallel_size {pp}"
+                )
+            from omniserve_tpu.parallel.pp import make_pipeline_forward
+
+            ce = self.cache_engine
+            for is_prefill in (True, False):
+                fn, shardings = make_pipeline_forward(
+                    self.local_spec, mesh, is_prefill, self.params,
+                    ce.retrieval_pool, ce.streaming_pool,
+                    pp_size=pp, microbatches=pp,
+                )
+                self._forward[is_prefill] = fn
+            self.params = jax.device_put(self.params, shardings["params"])
+            ce.set_pools(
+                jax.device_put(
+                    ce.retrieval_pool, shardings["retrieval_pool"]
+                ),
+                None if ce.streaming_pool is None else jax.device_put(
+                    ce.streaming_pool, shardings["streaming_pool"]
+                ),
+            )
+        elif tp > 1:
             # shard_map'd forward over the (data, model) mesh: params and
             # KV pools are device_put once with their NamedShardings; the
             # per-step batch arrays are resharded by jit on entry.
