@@ -89,7 +89,9 @@ def main() -> None:
         logits, pool, _, _ = llama_forward(
             params, pool, None, batch_dev, spec=spec, is_prefill=False
         )
-        toks = jnp.argmax(logits[:, :1000], axis=-1).astype(jnp.int32)
+        # FULL-vocab greedy argmax: slicing logits here would let XLA
+        # narrow the lm_head matmul and under-measure the real step
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = batch_dev._replace(
             token_ids=toks, positions=batch_dev.positions + 1
         )
