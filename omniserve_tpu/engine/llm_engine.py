@@ -254,7 +254,7 @@ class LLMEngine:
         llm_engine.py:541-561 — the window amortizes host prep and the
         token sync; mid-window finishes just discard their tail)."""
         n_multi = self.ifb_config.decode_multi_step
-        if n_multi <= 1 or self.parallel_config.world_size > 1:
+        if n_multi <= 1 or not self.worker.multi_step_capable:
             return False
         if any(m.is_prompt for m in metadata):
             return False
@@ -336,8 +336,8 @@ class LLMEngine:
             if (
                 n_multi > 1
                 and self._all_greedy()
-                and self.parallel_config.world_size == 1
-                # multi-step's jitted scan is not shard_map'd yet
+                and self.worker.multi_step_capable
+                # the scan embeds the raw TP/PP shard_map'd forward
             ):
                 # Pipelined windows: if a window is already in flight
                 # (launched speculatively at the previous boundary), launch

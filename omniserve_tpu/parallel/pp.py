@@ -253,12 +253,14 @@ def make_pipeline_forward(
     streaming_pool: Optional[KVPool],
     pp_size: int,
     microbatches: int = 1,
+    return_raw: bool = False,
 ):
     """shard_map'd pipeline forward; returns (fn, shardings).
 
     Same call contract as sharding.make_sharded_forward — composes with
     TP/DP when ``spec.tp_axis``/``dp_axis`` are set and the mesh carries
-    those axes alongside ``pipe``.
+    those axes alongside ``pipe``. ``return_raw=True`` appends the
+    unjitted shard_map callable for embedding in outer jits.
     """
     use_sparse = (not is_prefill) and spec.sparse_decode
     p_specs = pp_params_pspecs(params)
@@ -304,4 +306,6 @@ def make_pipeline_forward(
             )
         ),
     }
+    if return_raw:
+        return jax.jit(fn, donate_argnums=(1, 2)), shardings, fn
     return jax.jit(fn, donate_argnums=(1, 2)), shardings

@@ -182,12 +182,15 @@ def make_sharded_forward(
     retrieval_pool: KVPool,
     streaming_pool: Optional[KVPool],
     forward_fn=None,
+    return_raw: bool = False,
 ):
     """shard_map'd llama_forward over (data, model); returns (fn, shardings).
 
     ``spec`` must carry per-rank sizes and tp_axis/dp_axis set to the mesh
     axis names. The returned fn has the same signature as llama_forward
-    minus spec/is_prefill.
+    minus spec/is_prefill. ``return_raw=True`` appends the UNJITTED
+    shard_map callable (embeddable inside an outer jit, e.g. the
+    multi-step decode scan).
     """
     from omniserve_tpu.models.llama import (
         DecodeBatch,
@@ -234,4 +237,6 @@ def make_sharded_forward(
             )
         ),
     }
+    if return_raw:
+        return jax.jit(fn, donate_argnums=(1, 2)), shardings, fn
     return jax.jit(fn, donate_argnums=(1, 2)), shardings

@@ -206,12 +206,14 @@ class ModelRunner:
 
             ce = self.cache_engine
             for is_prefill in (True, False):
-                fn, shardings = make_pipeline_forward(
+                fn, shardings, raw = make_pipeline_forward(
                     self.local_spec, mesh, is_prefill, self.params,
                     ce.retrieval_pool, ce.streaming_pool,
-                    pp_size=pp, microbatches=pp,
+                    pp_size=pp, microbatches=pp, return_raw=True,
                 )
                 self._forward[is_prefill] = fn
+                if not is_prefill:
+                    self._raw_decode_fwd = raw
             self.params = jax.device_put(self.params, shardings["params"])
             ce.set_pools(
                 jax.device_put(
@@ -229,12 +231,14 @@ class ModelRunner:
 
             ce = self.cache_engine
             for is_prefill in (True, False):
-                fn, shardings = make_sharded_forward(
+                fn, shardings, raw = make_sharded_forward(
                     self.local_spec, mesh, is_prefill, self.params,
                     ce.retrieval_pool, ce.streaming_pool,
-                    forward_fn=self._model_forward,
+                    forward_fn=self._model_forward, return_raw=True,
                 )
                 self._forward[is_prefill] = fn
+                if not is_prefill:
+                    self._raw_decode_fwd = raw
             self.params = jax.device_put(self.params, shardings["params"])
             ce.set_pools(
                 jax.device_put(
@@ -245,6 +249,9 @@ class ModelRunner:
                 ),
             )
         else:
+            self._raw_decode_fwd = functools.partial(
+                self._model_forward, spec=self.spec, is_prefill=False
+            )
             if parallel_config and parallel_config.device_offset:
                 # DP replica on a single chip: commit params + pools to
                 # this replica's device; jit then runs there and batch
@@ -266,6 +273,12 @@ class ModelRunner:
                     ),
                     donate_argnums=(1, 2),
                 )
+
+    @property
+    def multi_step_capable(self) -> bool:
+        """Whether the multi-step greedy scan can serve this config (the
+        scan embeds the raw decode forward, incl. the TP/PP shard_map)."""
+        return getattr(self, "_raw_decode_fwd", None) is not None
 
     # -- slot management ---------------------------------------------------
     def _slot_for(self, seq_id: int) -> Tuple[int, bool]:
@@ -605,8 +618,10 @@ class ModelRunner:
 
             def body(carry, i):
                 rpool, spool, bd = carry
-                logits, rpool, spool, new_sel = self._model_forward(
-                    params, rpool, spool, bd, spec=spec, is_prefill=False
+                # single-chip partial OR the raw shard_map'd TP/PP forward
+                # (shard_map traces fine inside this outer jitted scan)
+                logits, rpool, spool, new_sel = self._raw_decode_fwd(
+                    params, rpool, spool, bd
                 )
                 toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 pos2 = bd.positions + 1

@@ -76,6 +76,11 @@ class Worker:
     def multi_step_carry(self, handle):
         return self.model_runner.multi_step_carry(handle)
 
+    @property
+    def multi_step_capable(self) -> bool:
+        return (self.model_runner is not None
+                and self.model_runner.multi_step_capable)
+
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],

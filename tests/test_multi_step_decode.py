@@ -23,7 +23,7 @@ def tiny_model_dir(tmp_path_factory):
     return str(d)
 
 
-def _run(tiny_model_dir, multi_step, gen=9):
+def _run(tiny_model_dir, multi_step, gen=9, tp=1, pp=1):
     args = EngineArgs(
         model=tiny_model_dir,
         precision="w16a16kv16",
@@ -34,6 +34,8 @@ def _run(tiny_model_dir, multi_step, gen=9):
         num_retrieval_blocks=64,
         ifb_mode=False,
         decode_multi_step=multi_step,
+        tensor_parallel_size=tp,
+        pipeline_parallel_size=pp,
     )
     engine = LLMEngine.from_engine_args(args)
     rng = np.random.default_rng(0)
@@ -57,6 +59,21 @@ def _run(tiny_model_dir, multi_step, gen=9):
 def test_multi_step_matches_single(tiny_model_dir):
     want = _run(tiny_model_dir, 1)
     got = _run(tiny_model_dir, 4)
+    assert want.keys() == got.keys()
+    for k in want:
+        assert want[k] == got[k], f"{k}: {want[k]} vs {got[k]}"
+
+
+@pytest.mark.parametrize("tp,pp", [(2, 1), (1, 2)])
+def test_multi_step_sharded_matches_single(tiny_model_dir, tp, pp):
+    """The scanned window embeds the raw TP/PP shard_map'd forward; the
+    sharded multi-step run must produce the single-step sharded tokens."""
+    import jax
+
+    if len(jax.devices()) < tp * pp:
+        pytest.skip(f"needs {tp * pp} virtual devices")
+    want = _run(tiny_model_dir, 1, tp=tp, pp=pp)
+    got = _run(tiny_model_dir, 4, tp=tp, pp=pp)
     assert want.keys() == got.keys()
     for k in want:
         assert want[k] == got[k], f"{k}: {want[k]} vs {got[k]}"
