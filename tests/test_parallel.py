@@ -128,6 +128,66 @@ class TestTensorParallelEquivalence:
             np.testing.assert_allclose(a, b, atol=0.08, rtol=0.05)
 
 
+class TestLlama70BGeometry:
+    def test_tp8_one_kv_head_per_rank(self):
+        """Llama-2-70B sharded config (SURVEY §7.2 step 7): 64 q / 8 kv
+        heads GQA over tp=8 leaves exactly ONE kv head per rank — the
+        kv-head-split edge case (head_dim shrunk to keep CPU draw cheap)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        tp = 8
+        hq, kv, hd = 64, 8, 32
+        tokens = list(range(1, 10))
+
+        def spec70(tp_):
+            return LlamaSpec(
+                num_layers=2, hidden=hq * hd, intermediate=1024 // tp_,
+                num_q_heads=hq // tp_, num_kv_heads=max(1, kv // tp_),
+                head_dim=hd, vocab=256, page_size=PAGE,
+                weight_bits=4, act_bits=8, kv_bits=8, kv_zeros=True,
+                tp_axis=MODEL_AXIS if tp_ > 1 else None,
+                dp_axis=DATA_AXIS if tp_ > 1 else None,
+            )
+
+        spec1 = spec70(1)
+        params1 = make_random_params(spec1, seed=0)
+        pool1 = make_kv_pool(2, 8, kv, PAGE, hd, kv_bits=8)
+        batch1 = build_prefill(tokens)
+        logits1, rpool1, _, _ = llama_forward(
+            params1, pool1, None, batch1, spec=spec1, is_prefill=True
+        )
+        d1 = build_decode(7, len(tokens))
+        dlogits1, *_ = llama_forward(
+            params1, rpool1, None, d1, spec=spec1, is_prefill=False
+        )
+
+        spec_n = spec70(tp)
+        assert spec_n.num_kv_heads == 1
+        params_n = make_random_params(spec_n, seed=0, tp_size=tp)
+        mesh = build_mesh(ParallelConfig(tensor_parallel_size=tp))
+        pool_n = make_kv_pool(2, 8, kv, PAGE, hd, kv_bits=8)
+        fwd, sh = make_sharded_forward(
+            spec_n, mesh, True, params_n, pool_n, None
+        )
+        params_n = jax.device_put(params_n, sh["params"])
+        pool_n = jax.device_put(pool_n, sh["retrieval_pool"])
+        logits_n, rpool_n, _, _ = fwd(params_n, pool_n, None, batch1)
+        np.testing.assert_allclose(
+            np.asarray(logits1, np.float32)[0],
+            np.asarray(logits_n, np.float32)[0], atol=0.08, rtol=0.05,
+        )
+        dfwd, _ = make_sharded_forward(
+            spec_n, mesh, False, params_n, rpool_n, None
+        )
+        dlogits_n, *_ = dfwd(params_n, rpool_n, None, d1)
+        np.testing.assert_allclose(
+            np.asarray(dlogits1, np.float32)[0],
+            np.asarray(dlogits_n, np.float32)[0], atol=0.08, rtol=0.05,
+        )
+
+
 class TestDryrun:
     def test_graft_dryrun(self):
         import __graft_entry__
