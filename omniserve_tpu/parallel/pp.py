@@ -38,6 +38,7 @@ from omniserve_tpu.models.llama import (
     LlamaSpec,
     PrefillBatch,
     _decode_page_ids,
+    _dense_mlp,
     _layer_step,
     _prefill_page_ids,
 )
@@ -112,6 +113,7 @@ def llama_forward_pp(
     is_prefill: bool,
     pp_size: int,
     microbatches: int = 1,
+    mlp_fn=_dense_mlp,
 ):
     """llama_forward equivalent, run INSIDE shard_map over the pipe axis.
 
@@ -153,7 +155,7 @@ def llama_forward_pp(
             meta_l = {"retrieval_flags": flags_l, "head_rank": rank_l}
             h2, (rp, sp), sel_l = _layer_step(
                 h, (rp, sp), layer_idx, layers_p, meta_l, inv_freq, spec,
-                is_prefill, mb_batch, page_io, use_sparse,
+                is_prefill, mb_batch, page_io, use_sparse, mlp_fn=mlp_fn,
             )
             return (h2, rp, sp), sel_l
 
@@ -253,6 +255,7 @@ def make_pipeline_forward(
     streaming_pool: Optional[KVPool],
     pp_size: int,
     microbatches: int = 1,
+    mlp_fn=_dense_mlp,
     return_raw: bool = False,
 ):
     """shard_map'd pipeline forward; returns (fn, shardings).
@@ -283,7 +286,7 @@ def make_pipeline_forward(
     fn = shard_map(
         functools.partial(
             llama_forward_pp, spec=spec, is_prefill=is_prefill,
-            pp_size=pp_size, microbatches=microbatches,
+            pp_size=pp_size, microbatches=microbatches, mlp_fn=mlp_fn,
         ),
         mesh=mesh,
         in_specs=(p_specs, r_specs, s_specs, b_specs),

@@ -193,10 +193,6 @@ class ModelRunner:
             # [L, ...] pools shard over the pipe axis; GPipe microbatch
             # rotation keeps every stage busy at decode (parallel/pp.py —
             # the reference raises for pp>1, config.py:284-285).
-            if is_moe:
-                raise NotImplementedError(
-                    "pipeline parallelism is llama-family only for now"
-                )
             if self.spec.num_layers % pp:
                 raise ValueError(
                     f"num_layers {self.spec.num_layers} not divisible by "
@@ -204,12 +200,18 @@ class ModelRunner:
                 )
             from omniserve_tpu.parallel.pp import make_pipeline_forward
 
+            if is_moe:
+                from omniserve_tpu.models.mixtral import moe_mlp
+                mlp_fn = moe_mlp
+            else:
+                mlp_fn = llama._dense_mlp
             ce = self.cache_engine
             for is_prefill in (True, False):
                 fn, shardings, raw = make_pipeline_forward(
                     self.local_spec, mesh, is_prefill, self.params,
                     ce.retrieval_pool, ce.streaming_pool,
-                    pp_size=pp, microbatches=pp, return_raw=True,
+                    pp_size=pp, microbatches=pp, mlp_fn=mlp_fn,
+                    return_raw=True,
                 )
                 self._forward[is_prefill] = fn
                 if not is_prefill:

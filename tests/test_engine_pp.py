@@ -75,6 +75,37 @@ def test_pp_engine_matches_single_chip(tiny_model_dir, pp, tp):
         assert mismatches <= 1, (rid, a, b)
 
 
+def test_pp_moe_engine_matches_single_chip(tmp_path):
+    """Mixtral through the engine with -pp 2: stage-sharded expert stacks
+    (the MoE MLP rides llama's mlp_fn hook through the pipeline trunk)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from transformers import MixtralConfig
+
+    d = tmp_path / "tiny_mixtral_pp"
+    MixtralConfig(
+        hidden_size=128,
+        intermediate_size=192,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        num_hidden_layers=4,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        vocab_size=256,
+        max_position_embeddings=2048,
+    ).save_pretrained(d)
+    want = run_engine(str(d), pp=1)
+    got = run_engine(str(d), pp=2)
+    assert set(got) == set(want)
+    for rid in want:
+        a, b = got[rid], want[rid]
+        assert len(a) == len(b), (rid, a, b)
+        mismatches = sum(x != y for x, y in zip(a, b))
+        assert mismatches <= 1, (rid, a, b)
+
+
 def test_pp_requires_divisible_layers(tiny_model_dir):
     import jax
 
