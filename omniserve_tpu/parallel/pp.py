@@ -96,6 +96,36 @@ def _slice_decode_batch(batch: DecodeBatch, m, mb: int) -> DecodeBatch:
     )
 
 
+def _slice_prefill_batch(batch: PrefillBatch, m, mb_seq: int,
+                         mb_tok: int) -> PrefillBatch:
+    """Microbatch m's rows of a RECTANGULAR chunked-prefill batch
+    ([B, Tc] flattened): slice mb_seq sequences' token rows and rebase the
+    segment / last-token indices to the slice."""
+    t_off = m * mb_tok
+    s_off = m * mb_seq
+
+    def st(x):
+        return jax.lax.dynamic_slice_in_dim(x, t_off, mb_tok, axis=0)
+
+    def ss(x):
+        return jax.lax.dynamic_slice_in_dim(x, s_off, mb_seq, axis=0)
+
+    seg = st(batch.segment_ids)
+    seg = jnp.where(seg >= 0, seg - s_off, -1)
+    return batch._replace(
+        token_ids=st(batch.token_ids),
+        positions=st(batch.positions),
+        segment_ids=seg,
+        block_tables=ss(batch.block_tables),
+        streaming_block_tables=ss(batch.streaming_block_tables),
+        last_token_idx=jnp.clip(
+            ss(batch.last_token_idx) - t_off, 0, mb_tok - 1
+        ),
+        seq_lens=ss(batch.seq_lens),
+        context_lens=ss(batch.context_lens),
+    )
+
+
 def _mask_page_io(page_io, valid):
     pr, sr, ps_, ss = page_io
     return (
@@ -132,8 +162,19 @@ def llama_forward_pp(
     inv_freq = rope_freqs(spec.head_dim, spec.rope_base, spec.rope_scaling)
 
     if is_prefill:
-        m_count = 1
-        mb = batch.token_ids.shape[0]
+        # rectangular chunked-prefill batches ([B, Tc] flattened) can
+        # microbatch over the SEQUENCE axis; varlen packed prefill is
+        # single-flow
+        rect = batch.context_lens is not None
+        n_seq = batch.block_tables.shape[0]
+        if rect and microbatches > 1 and n_seq > 1:
+            m_count = max(1, min(microbatches, n_seq))
+            while n_seq % m_count:
+                m_count -= 1
+        else:
+            m_count = 1
+        mb_seq = n_seq // m_count
+        mb = batch.token_ids.shape[0] // m_count   # tokens per microbatch
     else:
         # batch shape is static per trace: degrade to fewer microbatches
         # when the (pow2-padded) slot count doesn't divide
@@ -182,18 +223,20 @@ def llama_forward_pp(
             -1, jnp.int32,
         )
 
-    h_buf = jnp.zeros(
-        (batch.token_ids.shape[0] if is_prefill else mb, spec.hidden),
-        jnp.bfloat16,
-    )
+    h_buf = jnp.zeros((mb, spec.hidden), jnp.bfloat16)
+    mb_rows = mb_seq if is_prefill else mb    # logit rows per microbatch
 
     for t in range(ticks):
         m = t - stage
         valid = (m >= 0) & (m < m_count)
         mc = jnp.clip(m, 0, m_count - 1)
-        mb_batch = (
-            batch if is_prefill else _slice_decode_batch(batch, mc, mb)
-        )
+        if is_prefill:
+            mb_batch = (
+                batch if m_count == 1
+                else _slice_prefill_batch(batch, mc, mb_seq, mb)
+            )
+        else:
+            mb_batch = _slice_decode_batch(batch, mc, mb)
         page_io = (
             _prefill_page_ids(mb_batch, spec) if is_prefill
             else _decode_page_ids(mb_batch, spec)
@@ -219,14 +262,13 @@ def llama_forward_pp(
                 preferred_element_type=jnp.float32,
             )
 
-        rows = logits_acc.shape[0] if is_prefill else mb
         lg = jax.lax.cond(
             valid & (stage == last),
             _logits,
-            lambda: jnp.zeros((rows, vocab), jnp.float32),
+            lambda: jnp.zeros((mb_rows, vocab), jnp.float32),
         )
-        off = 0 if is_prefill else mc * mb
-        cur = jax.lax.dynamic_slice_in_dim(logits_acc, off, rows, axis=0)
+        off = mc * mb_rows
+        cur = jax.lax.dynamic_slice_in_dim(logits_acc, off, mb_rows, axis=0)
         logits_acc = jax.lax.dynamic_update_slice_in_dim(
             logits_acc, jnp.where(valid & (stage == last), lg, cur),
             off, axis=0,

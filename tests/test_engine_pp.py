@@ -106,6 +106,47 @@ def test_pp_moe_engine_matches_single_chip(tmp_path):
         assert mismatches <= 1, (rid, a, b)
 
 
+def test_pp_chunked_prefill_matches(tiny_model_dir):
+    """Chunked prefill under -pp 2: the rectangular chunk batches flow
+    through the pipeline forward (page-aligned pool writes must drop
+    cleanly on pipeline fill/drain ticks)."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+
+    def run(pp, chunk):
+        engine = LLMEngine.from_engine_args(EngineArgs(
+            model=tiny_model_dir,
+            precision="w16a16kv16",
+            load_format="dummy",
+            block_size=16,
+            max_num_seqs=8,
+            max_num_batched_tokens=8192,
+            num_retrieval_blocks=128,
+            chunk_prefill_size=chunk,
+            pipeline_parallel_size=pp,
+        ))
+        rng = np.random.default_rng(3)
+        for i, n in enumerate((150, 90)):
+            engine.add_request(
+                f"r{i}", prompt_token_ids=rng.integers(1, 255, size=n).tolist(),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=4, ignore_eos=True),
+            )
+        outs = {}
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    outs[o.request_id] = o.outputs[0].token_ids
+        return outs
+
+    want = run(1, 64)
+    got = run(2, 64)
+    assert want == got, (want, got)
+
+
 def test_pp_requires_divisible_layers(tiny_model_dir):
     import jax
 
