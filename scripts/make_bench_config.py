@@ -1,0 +1,103 @@
+"""Build local HF config dirs for the QServe benchmark model families.
+
+The reference fetches config-only model stubs from HF
+`mit-han-lab/QServe-benchmarks` (scripts/qserve_benchmark/benchmark_a100.sh:3-8)
+and serves them with --load-format dummy. This environment has no egress,
+so the same stubs are generated locally from the families' public
+geometries. Weights are random (dummy); the benchmark measures kernels,
+not accuracy.
+
+Usage:
+    python scripts/make_bench_config.py [--out-dir /tmp/omniserve_bench_cfgs]
+    python scripts/make_bench_config.py --only llama3-8b mistral-7b
+"""
+
+import argparse
+import json
+import os
+
+# (family key) -> HF config. Geometries are the public model card values.
+FAMILIES = {
+    "llama3-8b": dict(
+        architectures=["LlamaForCausalLM"], hidden_size=4096,
+        intermediate_size=14336, num_attention_heads=32,
+        num_key_value_heads=8, num_hidden_layers=32, vocab_size=128256,
+        rope_theta=500000.0, max_position_embeddings=8192,
+        rms_norm_eps=1e-5, model_type="llama",
+    ),
+    "llama2-7b": dict(
+        architectures=["LlamaForCausalLM"], hidden_size=4096,
+        intermediate_size=11008, num_attention_heads=32,
+        num_key_value_heads=32, num_hidden_layers=32, vocab_size=32000,
+        rope_theta=10000.0, max_position_embeddings=4096,
+        rms_norm_eps=1e-5, model_type="llama",
+    ),
+    "mistral-7b": dict(
+        architectures=["MistralForCausalLM"], hidden_size=4096,
+        intermediate_size=14336, num_attention_heads=32,
+        num_key_value_heads=8, num_hidden_layers=32, vocab_size=32000,
+        rope_theta=10000.0, max_position_embeddings=32768,
+        rms_norm_eps=1e-5, model_type="mistral",
+    ),
+    "llama2-13b": dict(
+        architectures=["LlamaForCausalLM"], hidden_size=5120,
+        intermediate_size=13824, num_attention_heads=40,
+        num_key_value_heads=40, num_hidden_layers=40, vocab_size=32000,
+        rope_theta=10000.0, max_position_embeddings=4096,
+        rms_norm_eps=1e-5, model_type="llama",
+    ),
+    "llama1-30b": dict(
+        architectures=["LlamaForCausalLM"], hidden_size=6656,
+        intermediate_size=17920, num_attention_heads=52,
+        num_key_value_heads=52, num_hidden_layers=60, vocab_size=32000,
+        rope_theta=10000.0, max_position_embeddings=2048,
+        rms_norm_eps=1e-6, model_type="llama",
+    ),
+    "yi-34b": dict(
+        architectures=["LlamaForCausalLM"], hidden_size=7168,
+        intermediate_size=20480, num_attention_heads=56,
+        num_key_value_heads=8, num_hidden_layers=60, vocab_size=64000,
+        rope_theta=5000000.0, max_position_embeddings=4096,
+        rms_norm_eps=1e-5, model_type="llama",
+    ),
+    "llama2-70b": dict(
+        architectures=["LlamaForCausalLM"], hidden_size=8192,
+        intermediate_size=28672, num_attention_heads=64,
+        num_key_value_heads=8, num_hidden_layers=80, vocab_size=32000,
+        rope_theta=10000.0, max_position_embeddings=4096,
+        rms_norm_eps=1e-5, model_type="llama",
+    ),
+    "qwen1.5-72b": dict(
+        architectures=["Qwen2ForCausalLM"], hidden_size=8192,
+        intermediate_size=24576, num_attention_heads=64,
+        num_key_value_heads=64, num_hidden_layers=80, vocab_size=152064,
+        rope_theta=1000000.0, max_position_embeddings=32768,
+        rms_norm_eps=1e-6, model_type="qwen2",
+    ),
+}
+
+COMMON = dict(
+    torch_dtype="float16", hidden_act="silu", tie_word_embeddings=False,
+    bos_token_id=1, eos_token_id=2,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="/tmp/omniserve_bench_cfgs")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of family keys")
+    args = ap.parse_args()
+    names = args.only or list(FAMILIES)
+    for name in names:
+        cfg = dict(COMMON)
+        cfg.update(FAMILIES[name])
+        d = os.path.join(args.out_dir, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2, sort_keys=True)
+        print(d)
+
+
+if __name__ == "__main__":
+    main()
