@@ -72,5 +72,19 @@ def test_mixtral_engine(tiny_mixtral_dir):
     _generate(tiny_mixtral_dir, "w4a8kv4")
 
 
+def test_mistral_arch_engine(tmp_path):
+    """MistralForCausalLM rides the llama graph (GQA, silu) — the arch
+    name the QServe family sweep serves must resolve end to end."""
+    from transformers import MistralConfig
+
+    d = tmp_path / "tiny_mistral"
+    MistralConfig(
+        hidden_size=64, intermediate_size=128, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, vocab_size=256,
+        max_position_embeddings=2048, sliding_window=None,
+    ).save_pretrained(d)
+    _generate(str(d), "w4a8kv4")
+
+
 def test_mixtral_w16(tiny_mixtral_dir):
     _generate(tiny_mixtral_dir, "w16a16kv16")
