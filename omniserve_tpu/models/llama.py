@@ -881,7 +881,12 @@ def llama_forward(
     tokens instead of last-token logits (teacher-forced evaluation —
     perplexity harnesses apply the lm_head in vocab chunks themselves).
     """
-    h = params["embed"][batch.token_ids].astype(jnp.bfloat16)  # [T, D]
+    if is_prefill:
+        h = params["embed"][batch.token_ids].astype(jnp.bfloat16)  # [T, D]
+    else:
+        h = dispatch.embed_lookup(
+            params["embed"], batch.token_ids
+        ).astype(jnp.bfloat16)
 
     if spec.with_stats:
         retrieval_pool = reset_page_stats_all_layers(

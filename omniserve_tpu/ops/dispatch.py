@@ -76,6 +76,24 @@ def append_kv_decode(pool, layer, k, v, page_ids, slots, page_size,
     return pool
 
 
+def embed_lookup(table, ids):
+    """Decode-step embedding rows. The Pallas DMA gather sidesteps XLA's
+    slow per-index loop lowering of large-row gathers inside scan bodies
+    (the engine's multi-step decode window); prefill keeps the plain XLA
+    gather (top-level programs lower it well and T can be tens of
+    thousands of rows)."""
+    # default off until validated on hardware (tpu_smoke.py gate), like
+    # the single-pass prefill kernel below
+    if _on_tpu() and os.environ.get("OMNISERVE_EMBED_DMA", "0") == "1":
+        try:
+            from omniserve_tpu.ops.pallas import embed_gather
+
+            return embed_gather.embed_gather(table, ids)
+        except ImportError:
+            pass
+    return table[ids]
+
+
 def paged_prefill_attention(*args, **kwargs):
     """Chunked-prefill attention over the paged pool.
 

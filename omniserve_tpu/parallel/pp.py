@@ -42,6 +42,7 @@ from omniserve_tpu.models.llama import (
     _layer_step,
     _prefill_page_ids,
 )
+from omniserve_tpu.ops import dispatch
 from omniserve_tpu.ops.norms import rms_norm
 from omniserve_tpu.ops.paged_kv import KVPool, reset_page_stats_all_layers
 from omniserve_tpu.ops.rope import rope_freqs
@@ -242,7 +243,12 @@ def llama_forward_pp(
             else _decode_page_ids(mb_batch, spec)
         )
         page_io = _mask_page_io(page_io, valid)
-        h0 = params["embed"][mb_batch.token_ids].astype(jnp.bfloat16)
+        if is_prefill:
+            h0 = params["embed"][mb_batch.token_ids].astype(jnp.bfloat16)
+        else:
+            h0 = dispatch.embed_lookup(
+                params["embed"], mb_batch.token_ids
+            ).astype(jnp.bfloat16)
         h_in = jnp.where(stage == 0, h0, h_buf)
         h_out, retrieval_pool, streaming_pool, sel = trunk(
             h_in, retrieval_pool, streaming_pool, mb_batch, page_io

@@ -91,12 +91,33 @@ def smoke_prefill(kv_bits, kv_zeros):
     check(f"prefill_sp kv{kv_bits} zeros={kv_zeros}", got, want)
 
 
+def smoke_embed_gather():
+    from omniserve_tpu.ops.pallas.embed_gather import embed_gather
+
+    tbl = jnp.asarray(rng.normal(size=(1024, 4096)), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    ids = jnp.asarray(rng.integers(0, 1024, size=128), jnp.int32)
+    got = jax.jit(embed_gather)(tbl, ids)
+    check("embed_gather", got.astype(jnp.float32), tbl[ids].astype(jnp.float32),
+          atol=0.0)
+
+    # the motivating context: inside a lax.scan body
+    def body(ids, _):
+        return (ids + 1) % 1024, embed_gather(tbl, ids)
+
+    _, hs = jax.jit(lambda i: jax.lax.scan(body, i, None, length=3))(ids)
+    check("embed_gather_in_scan", hs[2].astype(jnp.float32),
+          tbl[(ids + 2) % 1024].astype(jnp.float32), atol=0.0)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     for bits in (4, 8):
         for zeros in (True, False):
             smoke_decode(bits, zeros)
             smoke_prefill(bits, zeros)
+    smoke_embed_gather()
     ok = all(RESULTS)
     print("ALL PASS" if ok else "FAILURES PRESENT")
     sys.exit(0 if ok else 1)
