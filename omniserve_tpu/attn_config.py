@@ -255,10 +255,14 @@ def sparse_attn_init(
         multiblock_switch,
         page_size,
     )
-    if sparse_context_mode and chunk_prefill_size > 0:
+    can_chunk = max_model_len is None or max_model_len > chunk_prefill_size
+    if sparse_context_mode and chunk_prefill_size > 0 and can_chunk:
         # chunked sparse prefill: streaming heads' ctx-local window (plus
         # one in-flight chunk) must survive in the ring across chunks;
-        # never more than the model's whole context
+        # never more than the model's whole context. Skipped when no
+        # prompt can exceed chunk_prefill_size (chunked prefill can never
+        # trigger, and the wide ring would inflate the default streaming
+        # pool ~45x for short-context serving).
         span = ctx_local_size + chunk_prefill_size
         if max_model_len:
             span = min(span, max_model_len)

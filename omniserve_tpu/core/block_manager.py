@@ -163,6 +163,7 @@ class BaseBlockManager:
         if (
             prefix is not None
             and not prefix.allocated
+            and not prefix.evicted
             and prefix.get_num_blocks() <= need
         ):
             # first request with this prefix: publish its pages and pin
@@ -281,6 +282,15 @@ class BaseBlockManager:
         return mapping
 
     # -- free ---------------------------------------------------------------
+    def release_prefix(self, prefix) -> None:
+        """Drop an evicted prefix's pool pin (PrefixPool on_evict hook).
+        Pages still referenced by live sequences stay allocated."""
+        if prefix.block_table:
+            for bid in prefix.block_table:
+                self.device_allocator.free(bid)
+        prefix.block_table = None
+        prefix.computed = False
+
     def free(self, seq: Sequence) -> None:
         if seq.seq_id in self.block_tables:
             for bid in self.block_tables.pop(seq.seq_id):
@@ -398,6 +408,10 @@ class BlockSpaceManager:
         r = self.retrieval.swap_out(seq_group)
         s = self.streaming.swap_out(seq_group) if self.streaming else {}
         return r, s
+
+    def release_prefix(self, prefix) -> None:
+        # prefixes live in the retrieval pool only (_group_prefix)
+        self.retrieval.release_prefix(prefix)
 
     def free(self, seq: Sequence) -> None:
         for p in self._pools():

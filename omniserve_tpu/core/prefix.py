@@ -6,7 +6,9 @@ ids, so repeated system prompts can reuse allocated KV pages.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+import os
+from collections import OrderedDict
+from typing import Callable, List, Optional, Sequence, Tuple
 
 from omniserve_tpu.utils.constants import PAGE_SIZE
 
@@ -23,6 +25,7 @@ class Prefix:
         self.hash = hash(self.token_ids)
         self.block_table: Optional[List[int]] = None
         self.computed = False
+        self.evicted = False   # dropped from the pool; never re-pin pages
 
     @property
     def allocated(self) -> bool:
@@ -46,11 +49,28 @@ class Prefix:
 
 
 class PrefixPool:
-    """Registry of shared prefixes, keyed by token-id hash."""
+    """LRU registry of shared prefixes, keyed by token-id hash.
 
-    def __init__(self, page_size: int = PAGE_SIZE) -> None:
-        self.prefixes: Dict[Tuple[int, ...], Prefix] = {}
+    The reference pool grows without bound (omniserve/prefix.py:81-91 —
+    harmless there only because its model runner never activates the
+    path); here every published prefix PINS device pages, so the pool is
+    capped and eviction releases the evicted prefix's pin via ``on_evict``
+    (live requests keep their own page refs, so in-flight readers are
+    unaffected). Capacity: OMNISERVE_PREFIX_CAPACITY (default 64).
+    """
+
+    def __init__(
+        self,
+        page_size: int = PAGE_SIZE,
+        capacity: Optional[int] = None,
+        on_evict: Optional[Callable[[Prefix], None]] = None,
+    ) -> None:
+        self.prefixes: "OrderedDict[Tuple[int, ...], Prefix]" = OrderedDict()
         self.page_size = page_size
+        self.capacity = capacity if capacity is not None else int(
+            os.environ.get("OMNISERVE_PREFIX_CAPACITY", "64")
+        )
+        self.on_evict = on_evict
 
     def _truncate(self, token_ids: Sequence[int]) -> Tuple[int, ...]:
         n = (len(token_ids) // self.page_size) * self.page_size
@@ -60,9 +80,17 @@ class PrefixPool:
         key = self._truncate(token_ids)
         if not key:
             return None
-        if key not in self.prefixes:
-            self.prefixes[key] = Prefix(key, self.page_size)
-        return self.prefixes[key]
+        if key in self.prefixes:
+            self.prefixes.move_to_end(key)
+            return self.prefixes[key]
+        while self.capacity > 0 and len(self.prefixes) >= self.capacity:
+            _, old = self.prefixes.popitem(last=False)
+            old.evicted = True
+            if self.on_evict is not None:
+                self.on_evict(old)
+        prefix = Prefix(key, self.page_size)
+        self.prefixes[key] = prefix
+        return prefix
 
     def __len__(self) -> int:
         return len(self.prefixes)

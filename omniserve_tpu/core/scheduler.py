@@ -101,8 +101,12 @@ class Scheduler:
         )
         # shared-prompt-prefix registry (reference scheduler.py:120-121);
         # the engine attaches pool entries to groups via add_request's
-        # prefix_pos, the block manager shares/pins their pages
-        self.prefix_pool = PrefixPool(cache_config.page_size)
+        # prefix_pos, the block manager shares/pins their pages; LRU
+        # eviction releases the pin so distinct prefixes can't leak pages
+        self.prefix_pool = PrefixPool(
+            cache_config.page_size,
+            on_evict=self.block_manager.release_prefix,
+        )
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: List[SequenceGroup] = []
         self.swapped: Deque[SequenceGroup] = deque()
@@ -330,14 +334,13 @@ class Scheduler:
     ) -> None:
         if preemption_mode is None:
             # Single-seq groups recompute (cheaper than swap roundtrip);
-            # multi-seq groups swap so forks stay consistent
-            # (reference scheduler.py:470-480). Prefix-sharing groups
-            # always recompute: swapping out pages other requests still
-            # reference would corrupt them.
-            if (
-                seq_group.get_max_num_running_seqs() == 1
-                or getattr(seq_group, "prefix", None) is not None
-            ):
+            # multi-seq groups swap so DIVERGED forks keep their distinct
+            # KV (recompute would re-allocate one shared prompt table for
+            # all forks, reference scheduler.py:470-480). Prefix-shared
+            # pages are swap-safe: swap-out only reads the device page and
+            # drops this group's ref — the prefix pool's own pin keeps the
+            # page alive for other requests.
+            if seq_group.get_max_num_running_seqs() == 1:
                 preemption_mode = PreemptionMode.RECOMPUTE
             else:
                 preemption_mode = PreemptionMode.SWAP

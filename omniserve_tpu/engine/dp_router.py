@@ -35,11 +35,17 @@ class DataParallelEngine:
         tp = engine_args.tensor_parallel_size
         if dp < 2:
             raise ValueError("DataParallelEngine needs data_parallel_size >= 2")
+        # a replica's mesh spans tp*pp*sp devices — slices must not overlap
+        per_rep = (
+            tp
+            * max(1, getattr(engine_args, "pipeline_parallel_size", 1))
+            * max(1, getattr(engine_args, "sequence_parallel_size", 1))
+        )
         self.dp = dp
         self.replicas: List[LLMEngine] = []
         for i in range(dp):
             rep_args = dataclasses.replace(
-                engine_args, data_parallel_size=1, device_offset=i * tp
+                engine_args, data_parallel_size=1, device_offset=i * per_rep
             )
             self.replicas.append(LLMEngine.from_engine_args(rep_args))
         logger.info("DP engine: %d replicas x tp=%d", dp, tp)
@@ -87,9 +93,17 @@ class DataParallelEngine:
 
     def step(self):
         outs = []
-        for r in self.replicas:
+        for i, r in enumerate(self.replicas):
             if r.has_unfinished_requests():
                 outs.extend(r.step())
+            else:
+                # benchmarking mode suppresses outputs (no o.finished to
+                # observe) — drop the routing entries of drained replicas
+                # so the map cannot grow without bound
+                self._request_replica = {
+                    rid: j for rid, j in self._request_replica.items()
+                    if j != i
+                }
         for o in outs:
             if o.finished:
                 self._request_replica.pop(o.request_id, None)

@@ -129,8 +129,13 @@ def paged_prefill_attention(*args, **kwargs):
     if sel_logic is not None and ring_span:
         from omniserve_tpu.ops.paged_kv import ring_token_positions
 
-        page_size = kwargs.get("page_size") or args[7]
-        context_lens = kwargs.get("context_lens") or args[5]
+        # kwarg wins; positional index per the kernel signature. `x or
+        # args[i]` would bool() an array (ambiguous-truth ValueError) and
+        # index out of range when the arg arrived as a keyword.
+        page_size = (kwargs["page_size"] if "page_size" in kwargs
+                     else args[7])
+        context_lens = (kwargs["context_lens"] if "context_lens" in kwargs
+                        else args[5])
         kwargs["kv_positions"] = ring_token_positions(
             context_lens, sel_logic.shape[1], ring_sink // page_size,
             ring_span, page_size,

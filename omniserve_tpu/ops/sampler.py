@@ -25,9 +25,15 @@ def sample(
     rng: jax.Array,            # PRNG key
     temperature: jnp.ndarray,  # [] or [B] float32 (0 => greedy)
     top_p: jnp.ndarray,        # [] or [B] float32
-    top_k: jnp.ndarray = jnp.int32(-1),  # [] or [B] int32; <= 0 disables
+    top_k=-1,                  # [] or [B] int32; <= 0 disables
 ) -> jnp.ndarray:
-    """Returns sampled token ids [B]."""
+    """Returns sampled token ids [B].
+
+    ``top_k`` defaults to a plain int (NOT a device array): a jnp default
+    would initialize the XLA backend at import time, which breaks
+    ``jax.distributed.initialize`` (it must run before any backend use —
+    worker.py imports this module on every path).
+    """
     b, v = logits.shape
     greedy_ids = jnp.argmax(logits, axis=-1)
     temperature = jnp.broadcast_to(

@@ -162,30 +162,27 @@ def parse(out_dir, n_steps):
         if e.get("ph") == "M" and e.get("name") == "process_name"
         and "/device:TPU" in str(e.get("args", {}).get("name", ""))
     }
-    # split events into unrolled-phase vs scan-phase by program name:
-    # the scan program contains 'while' ops / its jit name differs. Use
-    # the top-level jit_<name> run_id grouping: aggregate per op name and
-    # tag events whose enclosing program is jit_window vs jit_step.
+    # split events into unrolled-phase vs scan-phase by enclosing program.
+    # The program name lives in different args keys across profiler
+    # versions — probe every string-valued arg for jit_window / jit_step.
     agg = {"step": defaultdict(float), "window": defaultdict(float)}
     tot = {"step": 0.0, "window": 0.0}
     src = {}
+    unmatched = defaultdict(float)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
             continue
         name = e.get("name", "?")
         a = e.get("args", {})
-        prog = str(a.get("run_id", "")) + " " + str(
-            a.get("program_id", "")
+        blob = name + " " + " ".join(
+            str(v) for v in a.values() if isinstance(v, str)
         )
-        # fall back: jax names top-level modules jit_step / jit_window
-        mod = str(a.get("tf_op", "")) + " " + name
-        key = None
-        hlo_mod = str(a.get("hlo_module", ""))
-        if "window" in hlo_mod:
+        if "jit_window" in blob:
             key = "window"
-        elif "step" in hlo_mod:
+        elif "jit_step" in blob:
             key = "step"
-        if key is None:
+        else:
+            unmatched[name] += e.get("dur", 0) / 1e3
             continue
         dur = e.get("dur", 0) / 1e3
         agg[key][name] += dur
@@ -193,6 +190,15 @@ def parse(out_dir, n_steps):
         s = a.get("source", "")
         if s and name not in src:
             src[name] = s
+    if not tot["step"] and not tot["window"]:
+        print("!! no events matched jit_step/jit_window — top ops overall:")
+        for name, ms in sorted(unmatched.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"{ms / n_steps:8.3f} ms/step  {name}")
+        return
+    if unmatched:
+        um = sum(unmatched.values())
+        print(f"(unmatched device time: {um / n_steps:.2f} ms/step over "
+              f"{len(unmatched)} op names)")
     for key in ("step", "window"):
         print(f"\n== {key}: total {tot[key]:.1f} ms "
               f"({tot[key] / n_steps:.2f} ms/step) ==")

@@ -178,3 +178,48 @@ class TestDistributedInit:
             mesh_mod.build_mesh(ParallelConfig(
                 tensor_parallel_size=2, data_parallel_size=1,
             ))
+
+
+class TestRingWidening:
+    def _cfg(self, max_model_len):
+        return sparse_attn_init(
+            sparse_context_mode=True, sparse_decode_mode=True,
+            static_sparsity=0.5, ctx_local_size=8192, dec_local_size=256,
+            chunk_prefill_size=32000, page_size=128, num_layers=2,
+            num_kv_heads=4, max_model_len=max_model_len,
+        )
+
+    def test_no_widening_when_prompts_cannot_chunk(self):
+        # max_model_len <= chunk_prefill_size: chunked prefill can never
+        # trigger, so the ring stays at the decode-local window instead of
+        # reserving ctx_local + chunk tokens per sequence
+        cfg = self._cfg(8192)
+        assert cfg.dec.ring_local_blocks == cfg.dec.local_blocks
+
+    def test_widened_for_long_context(self):
+        cfg = self._cfg(262144)
+        import math
+        assert cfg.dec.ring_local_blocks == math.ceil(
+            (8192 + 32000) / 128
+        )
+
+
+def test_import_does_not_initialize_backend():
+    """jax.distributed.initialize must run before any backend use; the
+    worker import path (engine -> worker -> model_runner -> ops.sampler)
+    must therefore not create device arrays at import time."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "from jax._src import xla_bridge\n"
+        "import omniserve_tpu.worker.worker\n"
+        "assert not xla_bridge.backends_are_initialized()\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0 and "clean" in out.stdout, out.stderr[-2000:]

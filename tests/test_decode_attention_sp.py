@@ -38,8 +38,9 @@ def build_pool(page, n_pages, h, d, lengths, tables, kv_zeros, layers=2,
 @pytest.mark.parametrize("kv_bits", [4, 8])
 @pytest.mark.parametrize("page", [64, 128])
 @pytest.mark.parametrize("kv_zeros", [True, False])
-def test_single_pass_matches_reference(page, kv_zeros, kv_bits):
-    h, d, n_rep = 2, 128, 4
+@pytest.mark.parametrize("n_rep", [1, 4])   # 1 = MHA (llama-2-7b/13b)
+def test_single_pass_matches_reference(page, kv_zeros, kv_bits, n_rep):
+    h, d = 2, 128
     lengths = [page * 3 + 7, page, 1]
     b = len(lengths)
     max_blocks = 4

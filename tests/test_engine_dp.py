@@ -37,7 +37,7 @@ def tiny_model_dir(tmp_path_factory):
     return str(d)
 
 
-def make_engine(tiny_model_dir, dp, tp=1):
+def make_engine(tiny_model_dir, dp, tp=1, pp=1):
     return LLMEngine.from_engine_args(EngineArgs(
         model=tiny_model_dir,
         precision="w4a8kv4",
@@ -48,6 +48,7 @@ def make_engine(tiny_model_dir, dp, tp=1):
         num_retrieval_blocks=64,
         data_parallel_size=dp,
         tensor_parallel_size=tp,
+        pipeline_parallel_size=pp,
     ))
 
 
@@ -120,3 +121,20 @@ def test_dp_composes_with_tp(tiny_model_dir):
         dev_sets.append({d.id for d in p.devices()})
         assert len(dev_sets[-1]) == 2  # sharded over a 2-device mesh
     assert dev_sets[0].isdisjoint(dev_sets[1]), dev_sets
+
+
+def test_dp_composes_with_pp_disjoint_slices(tiny_model_dir):
+    """dp=2 x pp=2: a replica's mesh spans tp*pp*sp devices, so replica
+    offsets must stride by that product — i*tp alone would overlap the
+    slices (two replicas' pools on one chip)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    eng = make_engine(tiny_model_dir, dp=2, pp=2)
+    dev_sets = []
+    for r in eng.replicas:
+        p = jax.tree.leaves(r.worker.model_runner.params)[0]
+        dev_sets.append({d.id for d in p.devices()})
+        assert len(dev_sets[-1]) == 2  # pipe-sharded over 2 devices
+    assert dev_sets[0].isdisjoint(dev_sets[1]), dev_sets
+    got = run(eng)
+    assert set(got) == set(PROMPTS)

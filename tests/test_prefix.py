@@ -72,6 +72,59 @@ def test_prefix_pages_shared_between_groups():
     assert alloc.ref_count(t1[2]) == 0
 
 
+def test_lru_eviction_releases_pin():
+    sched = make_scheduler()
+    sched.prefix_pool.capacity = 2
+    alloc = sched.block_manager.retrieval.device_allocator
+    g0, s0 = group(sched, "0", list(range(PAGE * 2)), prefix_pos=PAGE)
+    sched.schedule()
+    t0 = sched.block_manager.get_block_table(s0)
+    g1, s1 = group(sched, "1", list(range(1000, 1000 + PAGE * 2)),
+                   prefix_pos=PAGE)
+    sched.schedule()
+    # finish request 0 so only the pool pin holds its prefix page
+    sched.free_seq(s0)
+    assert alloc.ref_count(t0[0]) == 1      # the pin
+    # a third distinct prefix evicts the LRU entry (prefix 0)
+    sched.prefix_pool.add_or_get_prefix(list(range(2000, 2000 + PAGE)))
+    assert len(sched.prefix_pool) == 2
+    assert g0.prefix.evicted and not g0.prefix.allocated
+    assert alloc.ref_count(t0[0]) == 0      # pin released -> page free
+    assert alloc.ref_count(
+        sched.block_manager.get_block_table(s1)[0]
+    ) == 2                                  # live prefix keeps seq + pin
+
+    # a WAITING group holding an evicted prefix must not re-pin pages
+    g3, s3 = group(sched, "3", list(range(0, PAGE * 2)), prefix_pos=PAGE)
+    g3.prefix = g0.prefix                    # simulate the stale attach
+    sched.schedule()
+    t3 = sched.block_manager.get_block_table(s3)
+    assert g0.prefix.block_table is None     # never re-published
+    sched.free_seq(s3)
+    assert alloc.ref_count(t3[0]) == 0       # no orphan pin
+
+
+def test_multi_seq_group_preemption_swaps_not_recomputes():
+    """Diverged forks must SWAP on preemption: recompute would hand every
+    fork one shared prompt table (allocate sizes from seqs[0]) and their
+    re-prefills would overwrite each other's KV."""
+    from omniserve_tpu.core.scheduler import PreemptionMode
+
+    sched = make_scheduler()
+    toks = list(range(PAGE * 2))
+    prefix = sched.prefix_pool.add_or_get_prefix(toks[:PAGE])
+    seqs = [Sequence(10, None, list(toks), page_size=PAGE),
+            Sequence(11, None, list(toks), page_size=PAGE)]
+    g = SequenceGroup("10", seqs, SamplingParams(max_tokens=4, best_of=2,
+                                                 temperature=0.7), 0.0,
+                      prefix=prefix)
+    sched.add_seq_group(g)
+    sched.schedule()
+    swap_out = {}
+    sched._preempt(g, swap_out, {})
+    assert g in sched.swapped and swap_out   # SWAP path, not recompute
+
+
 def test_unrelated_prefixes_do_not_share():
     sched = make_scheduler()
     g1, s1 = group(sched, "1", list(range(PAGE * 2)), prefix_pos=PAGE)
