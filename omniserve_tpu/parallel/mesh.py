@@ -91,8 +91,13 @@ def build_mesh(parallel_config: ParallelConfig, devices=None) -> Mesh:
             )
         from jax.experimental import mesh_utils
 
+        # granule = process (one per host): DCN crosses process
+        # boundaries. The default slice granularity breaks on
+        # multi-process single-slice topologies (and CPU test meshes),
+        # where every device reports the same slice_index.
         dev = mesh_utils.create_hybrid_device_mesh(
-            (dp // n_proc, sp, pp, tp), (n_proc, 1, 1, 1)
+            (dp // n_proc, sp, pp, tp), (n_proc, 1, 1, 1),
+            process_is_granule=True,
         )
         return Mesh(dev, (DATA_AXIS, SEQ_AXIS, PIPE_AXIS, MODEL_AXIS))
     off = parallel_config.device_offset

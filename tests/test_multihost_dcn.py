@@ -1,0 +1,91 @@
+"""REAL two-process jax.distributed test of the multi-host DCN backend.
+
+Spawns two coordinator-connected processes (the TPU-pod model: one JAX
+process per host), initializes via parallel.mesh.init_distributed, builds
+the hybrid DCN x ICI mesh, and runs a cross-process psum through
+shard_map. This is the path the reference's NCCL scaffolding never
+exercises (its init code is unreachable, reference worker.py:78-103).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+CHILD = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    repo, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    sys.path.insert(0, repo)
+    from omniserve_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, build_mesh, init_distributed,
+    )
+    assert init_distributed(f"127.0.0.1:{port}", 2, pid)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from omniserve_tpu.config import ParallelConfig
+
+    assert jax.process_count() == 2
+    # 2 hosts x 2 local devices: data axis rides DCN (2 per host -> dp=2
+    # needs both), model axis stays host-local
+    mesh = build_mesh(ParallelConfig(
+        data_parallel_size=2, tensor_parallel_size=2,
+    ))
+    f = shard_map(
+        lambda x: jax.lax.psum(x, MODEL_AXIS), mesh=mesh,
+        in_specs=P(None, MODEL_AXIS), out_specs=P(),
+    )
+    x = jnp.arange(8, dtype=jnp.float32).reshape(2, 4)
+    gx = jax.device_put(x, NamedSharding(mesh, P(None, MODEL_AXIS)))
+    out = f(gx)
+    local = np.asarray(out.addressable_shards[0].data)
+    want = np.asarray(x[:, :2] + x[:, 2:])
+    np.testing.assert_allclose(local, want)
+    # data-axis collective crosses the process (DCN) boundary
+    g = shard_map(
+        lambda x: jax.lax.psum(x, DATA_AXIS), mesh=mesh,
+        in_specs=P(DATA_AXIS, None), out_specs=P(),
+    )
+    gy = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, None)))
+    local2 = np.asarray(g(gy).addressable_shards[0].data)
+    np.testing.assert_allclose(local2, np.asarray(x).sum(0, keepdims=True))
+    print(f"proc {pid} OK")
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dcn_mesh(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), repo, port, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid}:\n{out[-3000:]}"
+        assert f"proc {pid} OK" in out
