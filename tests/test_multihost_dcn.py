@@ -62,6 +62,67 @@ CHILD = textwrap.dedent(
 )
 
 
+FWD_CHILD = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    repo, port, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    sys.path.insert(0, repo)
+    from omniserve_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, build_mesh, init_distributed,
+    )
+    assert init_distributed(f"127.0.0.1:{port}", 2, pid)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from omniserve_tpu.config import ParallelConfig
+    from omniserve_tpu.models.llama import (
+        DecodeBatch, LlamaSpec, make_random_packed_params,
+    )
+    from omniserve_tpu.ops.paged_kv import make_kv_pool
+    from omniserve_tpu.parallel.sharding import make_sharded_forward
+
+    # dp=2 crosses the process (DCN) boundary; tp=2 stays host-local
+    mesh = build_mesh(ParallelConfig(
+        data_parallel_size=2, tensor_parallel_size=2,
+    ))
+    tp = 2
+    spec = LlamaSpec(
+        num_layers=2, hidden=256, intermediate=512 // tp,
+        num_q_heads=8 // tp, num_kv_heads=4 // tp, head_dim=32, vocab=512,
+        page_size=16, weight_bits=4, act_bits=8, kv_bits=4, kv_zeros=True,
+        tp_axis=MODEL_AXIS, dp_axis=DATA_AXIS,
+    )
+    params = make_random_packed_params(spec, seed=0, tp_size=tp)
+    pool = make_kv_pool(spec.num_layers, 16, spec.num_kv_heads,
+                        spec.page_size, spec.head_dim, kv_bits=4,
+                        kv_zeros=True)
+    B = 2
+    batch = DecodeBatch(
+        token_ids=jnp.ones((B,), jnp.int32),
+        positions=jnp.full((B,), 17, jnp.int32),
+        block_tables=jnp.tile(jnp.arange(4, dtype=jnp.int32)[None],
+                              (B, 1)),
+        streaming_block_tables=jnp.zeros((B, 1), jnp.int32),
+        active=jnp.ones((B,), bool),
+        new_page_ids=jnp.full((B,), -1, jnp.int32),
+        refresh_selection=jnp.asarray(False),
+        cached_page_idxes=jnp.full((spec.num_layers, B, 1, 1), -1,
+                                   jnp.int32),
+    )
+    fn, shardings = make_sharded_forward(spec, mesh, False, params, pool,
+                                         None)
+    params = jax.device_put(params, shardings["params"])
+    pool = jax.device_put(pool, shardings["retrieval_pool"])
+    logits, pool, _, _ = fn(params, pool, None, batch)
+    loc = np.asarray(logits.addressable_shards[0].data)
+    assert np.isfinite(loc).all()
+    print(f"proc {pid} OK argmax={int(loc[0].argmax())}")
+    """
+)
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -70,10 +131,10 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_dcn_mesh(tmp_path):
+def _run_children(tmp_path, code):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "child.py"
-    script.write_text(CHILD)
+    script.write_text(code)
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
@@ -89,3 +150,18 @@ def test_two_process_dcn_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid}:\n{out[-3000:]}"
         assert f"proc {pid} OK" in out
+    return outs
+
+
+def test_two_process_dcn_mesh(tmp_path):
+    _run_children(tmp_path, CHILD)
+
+
+def test_two_process_sharded_decode_forward(tmp_path):
+    """The full W4A8KV4 sharded decode step (TP psums host-local, DP over
+    the process boundary) executes across two coordinator-connected
+    processes and agrees on the logits."""
+    outs = _run_children(tmp_path, FWD_CHILD)
+    args = [out.strip().splitlines()[-1].split("argmax=")[1]
+            for out in outs]
+    assert args[0] == args[1], outs
