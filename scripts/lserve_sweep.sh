@@ -6,7 +6,11 @@
 # pass PRECISION=w8a8kv8 GRAN=per_tensor for the reference's exact dtypes
 # (fits up to ~128K on a 16 GB chip).
 set -e
-MODEL=${MODEL:-/tmp/llama3_8b_1048k_cfg}
+cd "$(dirname "$0")/.."
+if [ -z "$MODEL" ]; then
+  MODEL=/tmp/omniserve_bench_cfgs/llama3-8b-1048k
+  python scripts/make_bench_config.py --only llama3-8b-1048k >/dev/null
+fi
 PRECISION=${PRECISION:-w4a8kv4}
 GRAN=${GRAN:-fine_grained}
 GEN=${GEN:-128}

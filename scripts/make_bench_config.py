@@ -67,6 +67,15 @@ FAMILIES = {
         rope_theta=10000.0, max_position_embeddings=4096,
         rms_norm_eps=1e-5, model_type="llama",
     ),
+    # LServe long-context benchmark model (Llama-3-8B-Instruct-Gradient-
+    # 1048k geometry: llama3-8b with the context-extended rope base)
+    "llama3-8b-1048k": dict(
+        architectures=["LlamaForCausalLM"], hidden_size=4096,
+        intermediate_size=14336, num_attention_heads=32,
+        num_key_value_heads=8, num_hidden_layers=32, vocab_size=128256,
+        rope_theta=283461213.0, max_position_embeddings=1048576,
+        rms_norm_eps=1e-6, model_type="llama",
+    ),
     "qwen1.5-72b": dict(
         architectures=["Qwen2ForCausalLM"], hidden_size=8192,
         intermediate_size=24576, num_attention_heads=64,
