@@ -115,8 +115,11 @@ class Scheduler:
     def add_seq_group(self, seq_group: SequenceGroup) -> None:
         self.waiting.append(seq_group)
 
-    def abort_seq_group(self, request_ids: Iterable[str]) -> None:
+    def abort_seq_group(self, request_ids: Iterable[str]) -> List[int]:
+        """Returns the aborted seq ids (the engine frees their worker
+        slots — scheduler-side free only releases KV pages)."""
         ids = set(request_ids)
+        freed: List[int] = []
         for queue in (self.waiting, self.running, self.swapped):
             kept = [g for g in queue if g.request_id not in ids]
             aborted = [g for g in queue if g.request_id in ids]
@@ -125,11 +128,13 @@ class Scheduler:
                     if not seq.is_finished():
                         seq.status = SequenceStatus.FINISHED_ABORTED
                         self.free_seq(seq)
+                        freed.append(seq.seq_id)
             if isinstance(queue, deque):
                 queue.clear()
                 queue.extend(kept)
             else:
                 queue[:] = kept
+        return freed
 
     def has_unfinished_seqs(self) -> bool:
         return bool(self.waiting or self.running or self.swapped)

@@ -189,7 +189,11 @@ class LLMEngine:
 
     def abort_request(self, request_id: Union[str, List[str]]) -> None:
         ids = [request_id] if isinstance(request_id, str) else request_id
-        self.scheduler.abort_seq_group(ids)
+        for seq_id in self.scheduler.abort_seq_group(ids):
+            # scheduler free releases KV pages; the worker's persistent
+            # decode slot must be released too or padded batch widths
+            # grow for the life of the engine
+            self.worker.free_seq(seq_id)
 
     def get_num_unfinished_requests(self) -> int:
         return self.scheduler.get_num_unfinished_seq_groups()

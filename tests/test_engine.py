@@ -212,3 +212,28 @@ class TestEngineSparse:
             assert steps < 30
         assert done is not None
         assert len(done.outputs[0].token_ids) == 6
+
+
+def test_abort_request_frees_worker_slot(tiny_model_dir):
+    """Aborting a request must release its KV pages AND its worker decode
+    slot (leaked slots grow the padded batch width forever)."""
+    engine = make_engine(tiny_model_dir)
+    for rid in ("keep", "drop"):
+        engine.add_request(
+            rid, prompt_token_ids=[3, 1, 4, 1, 5, 9],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=8, ignore_eos=True),
+        )
+    engine.step()   # prefill both
+    engine.step()   # one decode step
+    runner = engine.worker.model_runner
+    assert len(runner._slots) == 2
+    engine.abort_request("drop")
+    assert len(runner._slots) == 1
+    outs = {}
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = o.outputs[0].token_ids
+    assert list(outs) == ["keep"] and len(outs["keep"]) == 8
+    assert not runner._slots
