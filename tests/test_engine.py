@@ -237,3 +237,21 @@ def test_abort_request_frees_worker_slot(tiny_model_dir):
                 outs[o.request_id] = o.outputs[0].token_ids
     assert list(outs) == ["keep"] and len(outs["keep"]) == 8
     assert not runner._slots
+
+
+def test_best_of_two_completions(tiny_model_dir):
+    """best_of=2: the group forks two sequences that sample independently
+    and the final RequestOutput carries both completions."""
+    engine = make_engine(tiny_model_dir)
+    engine.add_request(
+        "r0", prompt_token_ids=[3, 1, 4, 1, 5, 9],
+        sampling_params=SamplingParams(
+            temperature=0.7, best_of=2, max_tokens=4, ignore_eos=True),
+    )
+    outs = []
+    while engine.has_unfinished_requests():
+        outs = engine.step()
+    final = outs[-1]
+    assert final.finished and len(final.outputs) == 2
+    for comp in final.outputs:
+        assert len(comp.token_ids) == 4
