@@ -58,6 +58,7 @@ class EngineArgs:
     ifb_mode: bool = True
     decode_multi_step: int = 1
     benchmarking_mode: bool = False
+    omit_prompt: bool = False
     # sparse attention (LServe)
     sparse_context_mode: bool = False
     sparse_decode_mode: bool = False
@@ -112,19 +113,32 @@ class EngineArgs:
                                  "step (one jitted scan)")
         parser.add_argument("--no-ifb-mode", dest="ifb_mode",
                             action="store_false")
-        parser.add_argument("--benchmarking-mode", action="store_true",
-                            default=False)
+        parser.add_argument("--benchmarking-mode", "--benchmarking",
+                            action="store_true", default=False)
         parser.add_argument("--sparse-context-mode", action="store_true")
         parser.add_argument("--sparse-decode-mode", action="store_true")
         parser.add_argument("--static-sparsity", type=float, default=0.0)
-        parser.add_argument("--attn-pattern-path", type=str, default=None)
-        parser.add_argument("--ctx-sink-size", type=int, default=128)
-        parser.add_argument("--ctx-local-size", type=int, default=8192)
-        parser.add_argument("--dec-sink-size", type=int, default=128)
-        parser.add_argument("--dec-local-size", type=int, default=256)
+        # second names = the reference's flag spellings
+        # (arg_utils.py:331-440), kept as aliases so its launch scripts run
+        parser.add_argument("--attn-pattern-path",
+                            "--static-sparse-attn-load-dir",
+                            type=str, default=None)
+        parser.add_argument("--ctx-sink-size", "--ctx-sink-token",
+                            type=int, default=128)
+        parser.add_argument("--ctx-local-size", "--ctx-local-token",
+                            type=int, default=8192)
+        parser.add_argument("--dec-sink-size", "--dec-sink-token",
+                            type=int, default=128)
+        parser.add_argument("--dec-local-size", "--dec-local-token",
+                            type=int, default=256)
         parser.add_argument("--sub-chunk-per-block", type=int, default=4)
-        parser.add_argument("--sparse-kv-cache-budget", type=int,
+        parser.add_argument("--sparse-kv-cache-budget",
+                            "--dynamic-sparse-token-budget", type=int,
                             default=4096)
+        parser.add_argument("--omit-prompt", action="store_true",
+                            help="omit the prompt text in final outputs")
+        parser.add_argument("--trust-remote-code", action="store_true",
+                            default=True)
         parser.add_argument("--selector-update-interval", type=int, default=4)
         parser.add_argument(
             "--multiblock-switch", type=int, default=2048,
@@ -229,4 +243,5 @@ class EngineArgs:
             sp_attn_config=sp_attn_config,
             load_format=self.load_format,
             benchmarking_mode=self.benchmarking_mode,
+            omit_prompt=self.omit_prompt,
         )

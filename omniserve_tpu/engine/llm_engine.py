@@ -61,6 +61,7 @@ class LLMEngine:
         load_format: str = "auto",
         tokenizer_mode: str = "auto",
         benchmarking_mode: bool = False,
+        omit_prompt: bool = False,
         log_stats: bool = False,
     ) -> None:
         self.model_config = model_config
@@ -70,6 +71,7 @@ class LLMEngine:
         self.ifb_config = ifb_config
         self.sp_attn_config = sp_attn_config
         self.benchmarking_mode = benchmarking_mode
+        self.omit_prompt = omit_prompt
         self.log_stats = log_stats
         self.seq_counter = Counter()
 
@@ -474,6 +476,12 @@ class LLMEngine:
             RequestOutput.from_seq_group(g)
             for g in sched_out.ignored_seq_groups
         )
+        if self.omit_prompt:
+            # reference --omit-prompt (arg_utils.py:363-367): strip the
+            # prompt from user-facing outputs
+            for o in outputs:
+                o.prompt = None
+                o.prompt_token_ids = []
         return outputs
 
     def _check_stop(self, seq: Sequence, sp: SamplingParams) -> None:

@@ -255,3 +255,39 @@ def test_best_of_two_completions(tiny_model_dir):
     assert final.finished and len(final.outputs) == 2
     for comp in final.outputs:
         assert len(comp.token_ids) == 4
+
+
+def test_reference_flag_aliases_and_omit_prompt(tiny_model_dir):
+    """The reference's flag spellings (--benchmarking, --ctx-sink-token,
+    --dynamic-sparse-token-budget, --omit-prompt, ...) parse as aliases,
+    and --omit-prompt strips the prompt from outputs."""
+    import argparse
+
+    from omniserve_tpu.engine.arg_utils import EngineArgs
+
+    parser = argparse.ArgumentParser()
+    EngineArgs.add_cli_args(parser)
+    ns = parser.parse_args([
+        "--model", tiny_model_dir, "--benchmarking",
+        "--ctx-sink-token", "64", "--dec-local-token", "512",
+        "--dynamic-sparse-token-budget", "2048",
+        "--static-sparse-attn-load-dir", "/tmp/nonexistent",
+        "--omit-prompt",
+    ])
+    args = EngineArgs.from_cli_args(ns)
+    assert args.benchmarking_mode and args.omit_prompt
+    assert args.ctx_sink_size == 64 and args.dec_local_size == 512
+    assert args.sparse_kv_cache_budget == 2048
+    assert args.attn_pattern_path == "/tmp/nonexistent"
+
+    engine = make_engine(tiny_model_dir, omit_prompt=True)
+    engine.add_request(
+        "r0", prompt_token_ids=[3, 1, 4, 1],
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=2, ignore_eos=True),
+    )
+    outs = []
+    while engine.has_unfinished_requests():
+        outs = engine.step()
+    assert outs[-1].prompt_token_ids == [] and outs[-1].prompt is None
+    assert len(outs[-1].outputs[0].token_ids) == 2
