@@ -103,12 +103,26 @@ def paged_prefill_attention(*args, **kwargs):
     """
     if _on_tpu():
         kv_bits = kwargs.get("kv_bits", args[8] if len(args) > 8 else None)
+        page_size = (kwargs["page_size"] if "page_size" in kwargs
+                     else (args[7] if len(args) > 7 else 0))
+        head_dim = (args[0] if args else kwargs["q"]).shape[-1]
         # default off until validated on hardware; flip the default once
         # the long-context sweep runs green with it
         single_pass = (
             os.environ.get("OMNISERVE_PREFILL_SINGLE_PASS", "0") == "1"
         )
-        if kv_bits in (4, 8) and single_pass:
+        if single_pass:
+            if kv_bits in (4, 8):
+                from omniserve_tpu.ops.pallas.decode_attention import (
+                    supports,
+                )
+
+                single_pass = supports(
+                    kv_bits, int(page_size), int(head_dim)
+                )
+            else:
+                single_pass = False
+        if single_pass:
             try:
                 from omniserve_tpu.ops.pallas import prefill_single_pass
 

@@ -33,7 +33,6 @@ zero-point math into two planes per K/V (see ``_gather_scale_planes``).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,19 +51,24 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def supports(kv_bits: int, page_size: int, head_dim: int) -> bool:
-    """Whether the single-pass kernel can serve this config."""
-    bk = page_size // 4
-    if kv_bits == 8:
-        # kv8 rows ARE tokens (no nibble packing): per-page DMA offsets
-        # land at page_size-row granularity, which must stay u8
-        # sublane-tile (32) aligned
-        return page_size % 32 == 0 and head_dim % 128 == 0
+    """Whether the single-pass kernel can serve this config.
+
+    Alignment invariants (violations compile in interpret mode but fail
+    Mosaic on hardware):
+    - per-page KV DMA destinations sit at i*rows_pg u8 sublanes, so
+      rows_pg (= page/2 for kv4, page for kv8) must be a 32-multiple;
+    - the scale-buffer DMA destinations and quant-plane blocks slice f32
+      lanes at i*page offsets, so page must be a 128-lane multiple;
+    - per-page KV DMAs slice the pool's trailing dim, so head_dim must be
+      a 128-lane multiple.
+    Excluded configs fall back to the two-stage gather kernels.
+    """
+    if kv_bits not in (4, 8) or page_size <= 0:
+        return False
+    rows_pg = page_size // 2 if kv_bits == 4 else page_size
     return (
-        kv_bits == 4
-        and page_size % 8 == 0
-        and bk > 0
-        and 128 % bk == 0
-        # per-page DMA slices the pool's last dim: must be lane-tile aligned
+        rows_pg % 32 == 0
+        and page_size % 128 == 0
         and head_dim % 128 == 0
     )
 
@@ -368,6 +372,11 @@ def paged_mqa_attention_single_pass(
     lanes = 4 * g * bk
     sc = _gather_scale_planes(pool, layer, sel_phys, page_size, g, n_chunks)
     fine = sc is not None
+    assert fine == kv_zeros, (
+        "kv_zeros flag disagrees with the pool's scale planes "
+        f"(kv_zeros={kv_zeros}, pool fine-grained={fine}) — the kernel "
+        "would silently scale by zeros"
+    )
     if not fine:
         sc = jnp.zeros((1, hkv, 4, lanes), jnp.float32)
 

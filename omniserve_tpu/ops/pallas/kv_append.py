@@ -27,7 +27,6 @@ Layout contracts (ops/paged_kv.py):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -86,13 +85,6 @@ def _append_kernel(
     v_new = v_ref[0].astype(jnp.float32)
     qk, ks, kz = _quant_rows(k_new, kv_bits, kv_zeros, pt_ref[0])
     qv, vs, vz = _quant_rows(v_new, kv_bits, kv_zeros, pt_ref[1])
-
-    def to_u8(q):
-        # Mosaic lacks f32->u8; hop through int32, bitcast i8 -> u8
-        return pltpu.bitcast(
-            jnp.clip(q, 0, 255).astype(jnp.int32).astype(jnp.int8),
-            jnp.uint8,
-        )
 
     def store_data(dst, src_block, q):
         # The BLOCK is already the row window holding the target row (the

@@ -217,24 +217,32 @@ def _mqa_kernel(
             l_ref[rs, :] = jnp.broadcast_to(l_next, (n_rep, 128))
 
             # -- V accumulation in the quantized domain --
+            # corrections are computed from the SAME bf16-rounded weights
+            # the PV dot uses: the zero-point cancellation is exact only
+            # against the operands the MXU saw (f32 weights leave an O(1%)
+            # residual sum((p_bf - p_f32) * z) because z >> signal)
             v_u = unpack(v_ref, h)
             if kv_bits == 16:
-                p_eff = pexp
+                p_bf = pexp.astype(jnp.bfloat16)
                 corr = jnp.zeros((n_rep, 1), jnp.float32)
                 v_scale = 1.0
             elif kv_zeros:
                 vs = scales(2)
                 vz = scales(3) - 128.0      # plane3 stored as v_zero+128
-                p_eff = pexp * vs
-                corr = jnp.sum(p_eff * vz, axis=1, keepdims=True)
+                p_bf = (pexp * vs).astype(jnp.bfloat16)
+                corr = jnp.sum(
+                    p_bf.astype(jnp.float32) * vz, axis=1, keepdims=True
+                )
                 v_scale = 1.0
             else:
                 bias = 8.0 if kv_bits == 4 else 128.0
-                p_eff = pexp
-                corr = bias * jnp.sum(pexp, axis=1, keepdims=True)
+                p_bf = pexp.astype(jnp.bfloat16)
+                corr = bias * jnp.sum(
+                    p_bf.astype(jnp.float32), axis=1, keepdims=True
+                )
                 v_scale = pt_ref[1]
             pv = jax.lax.dot_general(
-                p_eff.astype(jnp.bfloat16), v_u,
+                p_bf, v_u,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                          # [n_rep, D]
@@ -448,15 +456,31 @@ def _pool_head_sources(head_rank, flags, n_pool_heads, want_retrieval):
 
 
 
-def _choose_chunk(t: int, cap: int = 8) -> int:
+def _choose_chunk(t: int, cap: int = 8, page_size: int = 128) -> int:
     """Pages per kernel chunk. Pad pages are DMA'd (compute is masked), so
     minimize the padded total ceil(t/g)*g; ties go to the larger chunk
-    (fewer grid steps)."""
-    best_g, best_padded = 1, t * cap
+    (fewer grid steps).
+
+    Alignment: the fine-grained scale BlockSpec's lane block is g*page, so
+    g*page must be a 128-lane multiple UNLESS one chunk covers the whole
+    (padded) list — the "block == array dims" escape hatch. Sub-128 pages
+    (reference default 64) therefore need g to be a multiple of
+    128/page_size; without this, multi-chunk fine-grained calls fail
+    Mosaic lowering on hardware while interpret mode accepts them."""
+    quantum = max(1, 128 // page_size)
+    if t <= cap:
+        return t                       # single chunk == whole array
+    best_g, best_padded = None, None
     for g in range(min(cap, t), 1, -1):
+        if g % quantum:
+            continue
         padded = -(-t // g) * g
-        if padded < best_padded:
+        if best_padded is None or padded < best_padded:
             best_g, best_padded = g, padded
+    if best_g is None:
+        # no aligned chunk fits under the cap: fall back to one chunk
+        # covering the whole list (block == array, no alignment rule)
+        return t
     return best_g
 
 
@@ -593,7 +617,7 @@ def paged_decode_attention(
             pt_scales=pt_of(pool), interpret=interpret,
         )
     else:
-        g_r = _choose_chunk(sel_logic.shape[-1])
+        g_r = _choose_chunk(sel_logic.shape[-1], page_size=page_size)
         sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g_r)
         kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
         out_r = paged_mqa_attention(
@@ -673,7 +697,7 @@ def paged_decode_attention(
             interpret=interpret,
         )
     else:
-        g_s = _choose_chunk(sel_logic_s.shape[-1])
+        g_s = _choose_chunk(sel_logic_s.shape[-1], page_size=page_size)
         sel_phys_s, sel_logic_s = _pad_sel(
             sel_phys_s, sel_logic_s, quantum=g_s
         )

@@ -197,22 +197,28 @@ def _prefill_kernel(
             m_ref[rs, :] = jnp.broadcast_to(m_next, (rows, 128))
             l_ref[rs, :] = jnp.broadcast_to(l_next, (rows, 128))
 
+            # corrections from the SAME bf16-rounded weights the PV dot
+            # uses (f32 weights leave a systematic zero-point residual)
             v_u = raw_block(v_ref)
             if kv_bits == 16:
-                p_eff, corr, v_scale = p, 0.0, 1.0
+                p_bf, corr, v_scale = p.astype(jnp.bfloat16), 0.0, 1.0
             elif kv_zeros:
                 vs = scales(2)
                 vz = scales(3) - 128.0      # plane3 stored as v_zero+128
-                p_eff = p * vs
-                corr = jnp.sum(p_eff * vz, axis=1, keepdims=True)
+                p_bf = (p * vs).astype(jnp.bfloat16)
+                corr = jnp.sum(
+                    p_bf.astype(jnp.float32) * vz, axis=1, keepdims=True
+                )
                 v_scale = 1.0
             else:
                 bias = 8.0 if kv_bits == 4 else 128.0
-                p_eff = p
-                corr = bias * jnp.sum(p, axis=1, keepdims=True)
+                p_bf = p.astype(jnp.bfloat16)
+                corr = bias * jnp.sum(
+                    p_bf.astype(jnp.float32), axis=1, keepdims=True
+                )
                 v_scale = pt_ref[1]
             pv = jax.lax.dot_general(
-                p_eff.astype(jnp.bfloat16), v_u,
+                p_bf, v_u,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -280,7 +286,8 @@ def paged_prefill_attention(
     # hardware (defaults: the measured v5e sweet spot).
     kv_chunk_tok = int(os.environ.get("OMNISERVE_PREFILL_KV_CHUNK", "2048"))
     kv_cap = max(8, kv_chunk_tok // page_size)
-    g = _choose_chunk(sel_logic.shape[-1], cap=kv_cap)
+    g = _choose_chunk(sel_logic.shape[-1], cap=kv_cap,
+                      page_size=page_size)
     sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g)
     kd, vd, ksc = _gather_pool(pool, layer, sel_phys)
     n_tiles = sel_logic.shape[-1]

@@ -58,6 +58,7 @@ def _psp_kernel(
     lengths_ref,    # [B] i32 kv tokens (history + chunk)
     flags_ref,      # [Hkv] i32 1 = retrieval
     trips_ref,      # [B, n_q_tiles] i32 kv chunks this q tile attends
+    sc_off_ref,     # [1] i32: layer*P (scale slab is per-layer, k/v folded)
     pt_ref,         # [2] f32 per-tensor scales
     # blocks
     q_ref,          # [1, tq, Hkv, n_rep, D]
@@ -96,7 +97,6 @@ def _psp_kernel(
     # token domain the MXU sees: kv4 unpacks to 128+v (magic bias), kv8
     # converts u8 verbatim; per-tensor kv4 stores q+8 -> 136+q on the MXU,
     # kv8 stores q+128 verbatim
-    k_fold = 128.0 if kv4 else 0.0
     pt_bias = 136.0 if kv4 else 128.0
     lanes = g * page_size
     n_rep = q_ref.shape[3]
@@ -124,7 +124,7 @@ def _psp_kernel(
         ]
         if kv_zeros:
             out.append(pltpu.make_async_copy(
-                sc_hbm.at[idx],
+                sc_hbm.at[idx - sc_off_ref[0]],
                 sc_buf.at[sl, :, :, pl.ds(i * page_size, page_size)],
                 sem.at[sl, i, 2],
             ))
@@ -346,9 +346,18 @@ def paged_prefill_single_pass(
 
     fine = pool.kv_scales is not None and kv_zeros
     if fine:
-        sc_flat = pool.kv_scales.reshape(L * P, hkv, 4, page_size)
+        # slice THIS layer's slab before the 4T -> (4, T) lane split (on
+        # the whole pool the split relayout-copies hundreds of MB per
+        # layer-step); the kernel's scale DMAs subtract sc_off to index
+        # the slab (k/v stay layer-folded)
+        page4 = pool.kv_scales.shape[-1]
+        sc_flat = jax.lax.dynamic_slice_in_dim(
+            pool.kv_scales.reshape(L * P, hkv, page4), layer * P, P
+        ).reshape(P, hkv, 4, page_size)
+        sc_off = jnp.asarray([layer * P], jnp.int32)
     else:
         sc_flat = jnp.zeros((1, hkv, 4, page_size), jnp.float32)
+        sc_off = jnp.zeros((1,), jnp.int32)
 
     if pool.k_scale_per_tensor is not None:
         pt_arr = jnp.stack([
@@ -412,7 +421,7 @@ def paged_prefill_single_pass(
         ring_sink_tok=int(ring_sink_tokens),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(b, q_tiles),
         in_specs=[
             pl.BlockSpec((1, tq, hkv, n_rep, d),
@@ -447,6 +456,6 @@ def paged_prefill_single_pass(
         ),
         interpret=interpret,
     )(sel_fold, sel_logic.astype(jnp.int32), q_start, q_count,
-      context_lens.astype(jnp.int32), flags, trips, pt_arr,
+      context_lens.astype(jnp.int32), flags, trips, sc_off, pt_arr,
       q5, k_flat, v_flat, sc_flat)
     return out.reshape(b, q_tiles * tq, hq, d)[:, :tq_total]

@@ -82,12 +82,16 @@ def test_single_pass_matches_reference(page, kv_zeros, kv_bits, n_rep):
 
 def test_supports_matrix():
     assert sp.supports(4, 128, 128)
-    assert sp.supports(4, 64, 128)
     assert sp.supports(8, 128, 128)
-    assert sp.supports(8, 64, 128)
+    assert sp.supports(4, 256, 128)
+    # sub-128 pages: the scale-plane DMAs would slice f32 lanes at
+    # non-128 offsets -> Mosaic rejects on hardware; two-stage fallback
+    assert not sp.supports(4, 64, 128)
+    assert not sp.supports(8, 64, 128)
     assert not sp.supports(8, 48, 128)
     assert not sp.supports(4, 48, 128)
     assert not sp.supports(16, 128, 128)
+    assert not sp.supports(4, 128, 64)
 
 
 @pytest.mark.parametrize("kv_bits", [4, 8])
