@@ -196,6 +196,13 @@ class BaseBlockManager:
         while len(table) < needed:
             table.append(self.device_allocator.allocate())
 
+    def pages_to_reserve(self, seq: Sequence, extra_tokens: int) -> int:
+        """How many pages reserve_slots(seq, extra_tokens) would allocate."""
+        needed = -(-(seq.get_len() + extra_tokens) // self.page_size)
+        if self.is_streaming:
+            needed = min(needed, self.sink_blocks + self.local_blocks)
+        return max(0, needed - len(self.block_tables[seq.seq_id]))
+
     def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
         """Account for one appended token.
 
@@ -384,6 +391,16 @@ class BlockSpaceManager:
     def reserve_slots(self, seq: Sequence, extra_tokens: int) -> None:
         for p in self._pools():
             p.reserve_slots(seq, extra_tokens)
+
+    def can_reserve_slots(self, seqs, extra_tokens: int) -> bool:
+        """Whether reserve_slots(seq, extra) can cover EVERY seq without
+        exhausting either pool (multi-step windows degrade to single-step
+        instead of raising mid-window)."""
+        for p in self._pools():
+            total = sum(p.pages_to_reserve(s, extra_tokens) for s in seqs)
+            if total > p.device_allocator.get_num_free_blocks():
+                return False
+        return True
 
     def fork(self, parent: Sequence, child: Sequence) -> None:
         for p in self._pools():

@@ -242,6 +242,7 @@ class EngineArgs:
                                  decode_multi_step=self.decode_multi_step),
             sp_attn_config=sp_attn_config,
             load_format=self.load_format,
+            tokenizer_path=self.tokenizer,
             benchmarking_mode=self.benchmarking_mode,
             omit_prompt=self.omit_prompt,
         )

@@ -7,8 +7,13 @@ batch (which would couple every replica's admission, paging, and bucket
 shapes to the slowest shard). Replica i owns
 ``jax.devices()[i*tp : (i+1)*tp]`` (a mesh when tp > 1, a pinned single
 chip otherwise); requests route to the least-loaded replica; ``step()``
-advances every replica with work (device execution overlaps through
-JAX's async dispatch) and merges the outputs.
+advances every replica with work and merges the outputs. Replica device
+work overlaps when decode windows are pipelined (static mode with
+``--decode-multi-step``: each ``step()`` fetches the window launched on a
+PREVIOUS call while the speculative next window already runs, so every
+replica's device stays busy across the sequential host loop); in
+single-step decode each replica's token fetch serializes against the
+next replica's dispatch.
 
 The reference has no engine DP at all (its NCCL scaffolding is TP-only,
 omniserve/worker/worker.py:78-103); this is the standard production DP

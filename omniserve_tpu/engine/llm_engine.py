@@ -60,6 +60,7 @@ class LLMEngine:
         sp_attn_config: Optional[SpAttnConfig] = None,
         load_format: str = "auto",
         tokenizer_mode: str = "auto",
+        tokenizer_path=None,
         benchmarking_mode: bool = False,
         omit_prompt: bool = False,
         log_stats: bool = False,
@@ -78,7 +79,9 @@ class LLMEngine:
         self.tokenizer = None
         if tokenizer_mode != "skip":
             try:
-                self.tokenizer = get_tokenizer(model_config.model)
+                self.tokenizer = get_tokenizer(
+                    tokenizer_path or model_config.model
+                )
             except Exception as e:  # dummy/benchmark models have no files
                 logger.warning("tokenizer unavailable (%s); text decode off", e)
 
@@ -145,7 +148,13 @@ class LLMEngine:
             arrival_time = time.monotonic()
         if profiling_config is not None:
             # fixed-shape random prompt (reference llm_engine.py:337-347)
-            rng = np.random.default_rng(abs(hash(request_id)) % (2**31))
+            # stable digest: str hash is salted per process, which would
+            # make profiling prompts non-reproducible across runs
+            import zlib
+
+            rng = np.random.default_rng(
+                zlib.crc32(str(request_id).encode()) % (2**31)
+            )
             prompt_token_ids = rng.integers(
                 10, self.model_config.get_vocab_size() - 1,
                 size=profiling_config.prompt_len,
@@ -279,15 +288,17 @@ class LLMEngine:
             g.sampling_params.temperature < 1e-5 for g in groups
         ):
             return False
-        # worst case every seq needs a page per step of the window
-        n_running = sum(
-            len(g.get_seqs(SequenceStatus.RUNNING)) for g in groups
+        if any(g.sampling_params.decoding_sim_token_ids for g in groups):
+            # inside the scan the device feeds its own argmax tokens; the
+            # forced simulation tokens would only resync at boundaries
+            return False
+        seqs = [
+            seq for g in groups
+            for seq in g.get_seqs(SequenceStatus.RUNNING)
+        ]
+        return self.scheduler.block_manager.can_reserve_slots(
+            seqs, self.ifb_config.decode_multi_step
         )
-        pages = -(-self.ifb_config.decode_multi_step
-                  // self.cache_config.page_size) + 1
-        free = (self.scheduler.block_manager.retrieval
-                .device_allocator.get_num_free_blocks())
-        return free >= n_running * pages
 
     def _step_static(self) -> List[RequestOutput]:
         """Non-IFB: schedule once, then reuse the static batch
@@ -331,6 +342,7 @@ class LLMEngine:
                 check_stop=not self.benchmarking_mode,
             )
         n_multi = max(1, self.ifb_config.decode_multi_step)
+        copy, s_copy = {}, {}
         if self._static_metadata is None:
             self._static_metadata, self._static_outputs = (
                 self.scheduler.schedule()
@@ -338,30 +350,63 @@ class LLMEngine:
         else:
             for meta in self._static_metadata:
                 meta.is_prompt = False
-            self._grow_static_tables()
+            copy, s_copy = self._grow_static_tables()
+            groups = self._static_outputs.scheduled_seq_groups
+            running = [
+                seq for g in groups
+                for seq in g.get_seqs(SequenceStatus.RUNNING)
+            ]
+            no_sim = not any(
+                g.sampling_params.decoding_sim_token_ids for g in groups
+            )
             if (
                 n_multi > 1
                 and self._all_greedy()
+                and no_sim
                 and self.worker.multi_step_capable
                 # the scan embeds the raw TP/PP shard_map'd forward
+                and self.scheduler.block_manager.can_reserve_slots(
+                    running, n_multi
+                )
             ):
                 # Pipelined windows: if a window is already in flight
                 # (launched speculatively at the previous boundary), launch
                 # the NEXT one before fetching its tokens — the device
                 # never idles on the host's token sync + window prep.
+                # Speculation needs unshared pages (no forks/prefix): a
+                # copy-on-write decision made from host state would be one
+                # window stale against the in-flight device writes.
                 speculate = self.benchmarking_mode and all(
+                    g.get_max_num_running_seqs() == 1
+                    and getattr(g, "prefix", None) is None
+                    for g in groups
+                ) and all(
                     seq.get_output_len() + 2 * n_multi
                     <= g.sampling_params.max_tokens
-                    for g in self._static_outputs.scheduled_seq_groups
+                    for g in groups
                     for seq in g.get_seqs(SequenceStatus.RUNNING)
                 )
                 horizon = n_multi * (2 if speculate else 1)
-                for group in self._static_outputs.scheduled_seq_groups:
-                    for seq in group.get_seqs(SequenceStatus.RUNNING):
-                        self.scheduler.block_manager.reserve_slots(
-                            seq, horizon
-                        )
+                if speculate and not (
+                    self.scheduler.block_manager.can_reserve_slots(
+                        running, horizon
+                    )
+                ):
+                    speculate = False
+                    horizon = n_multi
+                for seq in running:
+                    self.scheduler.block_manager.reserve_slots(
+                        seq, horizon
+                    )
                 self._refresh_static_tables()
+                if copy or s_copy:
+                    # apply copy-on-writes before the window launches (no
+                    # window can be in flight here: speculation is gated
+                    # off for shared pages, the only CoW source)
+                    assert self._inflight_window is None
+                    self.worker.execute_model(
+                        [], {}, {}, copy, {}, {}, s_copy
+                    )
                 handle = self._inflight_window
                 self._inflight_window = None
                 if handle is None:
@@ -384,7 +429,7 @@ class LLMEngine:
                     check_stop=not self.benchmarking_mode,
                 )
         samples = self.worker.execute_model(
-            self._static_metadata, {}, {}, {}, {}, {}, {}
+            self._static_metadata, {}, {}, copy, {}, {}, s_copy
         )
         return self._process_model_outputs(
             samples, self._static_outputs, check_stop=not self.benchmarking_mode
@@ -411,14 +456,24 @@ class LLMEngine:
                         .get_streaming_block_table(seq)
                     )
 
-    def _grow_static_tables(self) -> None:
+    def _grow_static_tables(self):
+        """Account one appended token per running seq; returns the
+        (retrieval, streaming) copy-on-write maps append_slot produced —
+        dropping them would leave forked/prefix-shared sequences pointing
+        at never-copied pages (silent garbage KV)."""
+        copy, s_copy = {}, {}
         for meta, group in zip(
             self._static_metadata,
             self._static_outputs.scheduled_seq_groups,
         ):
             for seq in group.get_seqs(SequenceStatus.RUNNING):
-                self.scheduler.block_manager.append_slot(seq)
+                r_cow, s_cow = self.scheduler.block_manager.append_slot(seq)
+                if r_cow is not None:
+                    copy.setdefault(r_cow[0], []).append(r_cow[1])
+                if s_cow is not None:
+                    s_copy.setdefault(s_cow[0], []).append(s_cow[1])
         self._refresh_static_tables()
+        return copy, s_copy
 
     # ------------------------------------------------------------------
     def _process_model_outputs(

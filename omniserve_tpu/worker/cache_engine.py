@@ -10,6 +10,7 @@ is real: device->host on swap-out, host->device on swap-in).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -24,17 +25,31 @@ from omniserve_tpu.utils.logger import init_logger
 logger = init_logger(__name__)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _copy_pages(
     pool: KVPool, src: jnp.ndarray, dst: jnp.ndarray
 ) -> KVPool:
-    """Copy whole pages src[i] -> dst[i] across all layers (CoW support)."""
+    """Copy whole pages src[i] -> dst[i] across all layers (CoW support).
+
+    The pool is DONATED: without it XLA cannot alias input to output and
+    each copy-on-write step would transiently duplicate the multi-GB pool
+    (an OOM risk exactly when the pool fills the chip)."""
     updates = {}
     for name in ("k_data", "v_data", "kv_scales", "k_stats"):
         arr = getattr(pool, name)
         if arr is None:
             continue
         updates[name] = arr.at[:, dst].set(arr[:, src])
+    return pool._replace(**updates)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_pages(pool: KVPool, dst: jnp.ndarray, **host_arrays) -> KVPool:
+    """Swap-in: scatter host page snapshots into the donated pool."""
+    updates = {
+        name: getattr(pool, name).at[:, dst].set(arr)
+        for name, arr in host_arrays.items()
+    }
     return pool._replace(**updates)
 
 
@@ -164,16 +179,18 @@ class CacheEngine:
         store = self._cpu_pages["streaming" if streaming else "retrieval"]
         cpu_ids = list(mapping.keys())
         dst = jnp.asarray([mapping[c] for c in cpu_ids], jnp.int32)
-        updates = {}
-        for name in ("k_data", "v_data", "kv_scales", "k_stats"):
-            arr = getattr(pool, name)
-            if arr is None:
-                continue
-            stacked = np.stack([store[c][name] for c in cpu_ids], axis=1)
-            updates[name] = arr.at[:, dst].set(jnp.asarray(stacked))
+        host_arrays = {
+            name: jnp.asarray(
+                np.stack([store[c][name] for c in cpu_ids], axis=1)
+            )
+            for name in ("k_data", "v_data", "kv_scales", "k_stats")
+            if getattr(pool, name) is not None
+        }
         for c in cpu_ids:
             del store[c]
-        pool = pool._replace(**updates)
+        # donated jit scatter: the eager .at.set allocated a second full
+        # pool copy per swap-in
+        pool = _write_pages(pool, dst, **host_arrays)
         if streaming:
             self.streaming_pool = pool
         else:

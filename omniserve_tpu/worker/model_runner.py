@@ -184,6 +184,7 @@ class ModelRunner:
         self._num_slots = 0
         self._cached_page_idxes: Optional[jnp.ndarray] = None
         self._decode_steps = 0
+        self._ms_fn_cache = {}
         self._needs_refresh = True
         self._rng = jax.random.PRNGKey(model_config.seed)
 
@@ -524,7 +525,8 @@ class ModelRunner:
         ce.set_pools(rpool, spool)
         if new_sel is not None:
             self._cached_page_idxes = new_sel
-        self._decode_steps += n_steps
+        # _prepare_decode already counted the window's first step
+        self._decode_steps += n_steps - 1
         return {
             "tokens": tokens,      # device [n_steps, B]
             "metadata": metadata,
@@ -565,9 +567,20 @@ class ModelRunner:
         """
         return self.finish_multi_step(self.start_multi_step(metadata, n_steps))
 
-    @functools.lru_cache(maxsize=16)
     def _multi_step_fns(self, n_steps: int, b_pad: int, w: int, sw: int,
                         npg_len: int, use_carry: bool):
+        # per-instance cache: a global lru_cache keyed on self would pin
+        # discarded runners' params alive and thrash compiles across DP
+        # replicas sharing the 16 slots
+        key = (n_steps, b_pad, w, sw, npg_len, use_carry)
+        fn = self._ms_fn_cache.get(key)
+        if fn is None:
+            fn = self._build_multi_step_fn(*key)
+            self._ms_fn_cache[key] = fn
+        return fn
+
+    def _build_multi_step_fn(self, n_steps: int, b_pad: int, w: int,
+                             sw: int, npg_len: int, use_carry: bool):
         spec = self.spec
         page = spec.page_size
         interval = max(1, spec.selector_interval)

@@ -291,3 +291,56 @@ def test_reference_flag_aliases_and_omit_prompt(tiny_model_dir):
         outs = engine.step()
     assert outs[-1].prompt_token_ids == [] and outs[-1].prompt is None
     assert len(outs[-1].outputs[0].token_ids) == 2
+
+
+def test_static_mode_cow_matches_ifb(tiny_model_dir):
+    """Static (non-IFB) mode must route append_slot's copy-on-write pairs
+    to the device; dropping them left sequences appending into shared
+    (pinned prefix) pages attending garbage KV. A prompt that ends exactly
+    on a published prefix page triggers CoW on its first decode append —
+    greedy outputs through both modes must agree token-for-token."""
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3]  # 1 page
+
+    def run(ifb):
+        engine = make_engine(tiny_model_dir, ifb_mode=ifb)
+        outs = {}
+        for rid in ("r0", "r1"):   # r1 reuses r0's published prefix pages
+            engine.add_request(
+                rid, prompt_token_ids=list(prompt), prefix_pos=len(prompt),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=24, ignore_eos=True),
+            )
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    outs[o.request_id] = o.outputs[0].token_ids
+        assert outs["r0"] == outs["r1"]   # same prompt, greedy
+        return outs
+
+    assert run(True) == run(False)
+
+
+def test_static_mode_routes_cow_to_device(tiny_model_dir, monkeypatch):
+    """A forked (best_of=2) group shares its unaligned last prompt page;
+    the first decode append must copy-on-write and static mode must route
+    that copy to the cache engine (it used to drop the pairs)."""
+    from omniserve_tpu.worker.cache_engine import CacheEngine
+
+    copies = []
+    orig = CacheEngine.copy_pages
+
+    def spy(self, mapping, streaming):
+        if mapping:
+            copies.append(dict(mapping))
+        return orig(self, mapping, streaming)
+
+    monkeypatch.setattr(CacheEngine, "copy_pages", spy)
+    engine = make_engine(tiny_model_dir, ifb_mode=False)
+    engine.add_request(
+        "r0", prompt_token_ids=[3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],
+        sampling_params=SamplingParams(
+            temperature=0.7, best_of=2, max_tokens=4, ignore_eos=True),
+    )
+    while engine.has_unfinished_requests():
+        engine.step()
+    assert copies, "fork CoW never reached the cache engine"
