@@ -66,6 +66,9 @@ class LlamaSpec:
     rms_eps: float = 1e-5
     rope_base: float = 10000.0
     rope_scaling: float = 1.0
+    # llama3 context-extension remap: (factor, low_freq_factor,
+    # high_freq_factor, original_max_position) or None
+    rope_llama3: tuple = None
     weight_bits: int = 4
     act_bits: int = 8
     kv_bits: int = 4
@@ -154,9 +157,27 @@ class LlamaSpec:
                 ctx_local=ctx.ctx_local_size,
             )
         rope_scaling = 1.0
+        rope_llama3 = None
         scaling_cfg = getattr(hf, "rope_scaling", None)
-        if scaling_cfg and scaling_cfg.get("type", scaling_cfg.get("rope_type")) == "linear":
-            rope_scaling = float(scaling_cfg["factor"])
+        if scaling_cfg:
+            stype = scaling_cfg.get("type", scaling_cfg.get("rope_type"))
+            if stype == "linear":
+                rope_scaling = float(scaling_cfg["factor"])
+            elif stype == "llama3":
+                rope_llama3 = (
+                    float(scaling_cfg["factor"]),
+                    float(scaling_cfg["low_freq_factor"]),
+                    float(scaling_cfg["high_freq_factor"]),
+                    float(scaling_cfg["original_max_position_embeddings"]),
+                )
+            elif stype in (None, "default"):
+                pass
+            else:
+                # silently ignoring yarn/dynamic would serve wrong rotary
+                # angles past the original window
+                raise NotImplementedError(
+                    f"rope_scaling type {stype!r} not supported"
+                )
         if hf.intermediate_size % tp_size:
             raise ValueError(
                 f"intermediate_size {hf.intermediate_size} not divisible "
@@ -175,6 +196,7 @@ class LlamaSpec:
             rms_eps=getattr(hf, "rms_norm_eps", 1e-5),
             rope_base=getattr(hf, "rope_theta", 10000.0),
             rope_scaling=rope_scaling,
+            rope_llama3=rope_llama3,
             weight_bits=model_config.weight_bits,
             act_bits=model_config.act_bits,
             kv_bits=model_config.kv_cache_bits,
@@ -556,11 +578,23 @@ def _prefill_page_ids(batch: PrefillBatch, spec: LlamaSpec):
     pages_s = batch.streaming_block_tables[
         seg, jnp.minimum(ring, batch.streaming_block_tables.shape[1] - 1)
     ]
-    L_seq = batch.seq_lens[seg]
+    # Dead-token skip horizon: tokens below the ring window are never
+    # read again, so their write is dropped. For RECTANGULAR chunked
+    # batches the horizon is the RUNNING context after this chunk
+    # (context_lens) — intermediate chunks' streaming attention still
+    # reads the window; measuring against the full prompt length would
+    # silently skip writing in-band KV that later chunks attend.
+    # Varlen single-shot batches write the ring only for decode, so the
+    # full length is the right horizon (and masks intra-batch ring-slot
+    # collisions).
+    horizon = (
+        batch.context_lens if batch.context_lens is not None
+        else batch.seq_lens
+    )[seg]
     sink_tok = spec.sink_blocks * spec.page_size
     local_tok = spec.local_blocks * spec.page_size
     dead = (batch.positions >= sink_tok) & (
-        batch.positions < L_seq - local_tok
+        batch.positions < horizon - local_tok
     )
     pages_s = jnp.where(invalid | dead, -1, pages_s)
     return pages_r, slot, pages_s, slot
@@ -650,10 +684,12 @@ def _write_kv(
     return retrieval_pool, streaming_pool
 
 
-def _dense_mlp(h, lp, spec: LlamaSpec, layer=None):
+def _dense_mlp(h, lp, spec: LlamaSpec, layer=None, valid=None):
     """The standard Llama SwiGLU MLP (pre-norm, quantized, residual).
 
-    ``lp`` holds STACKED [L, ...] weights; ``layer`` selects the layer."""
+    ``lp`` holds STACKED [L, ...] weights; ``layer`` selects the layer.
+    ``valid`` (row mask) is unused here — MoE MLPs consume it so padding
+    rows don't occupy expert capacity."""
     mlp_ln = lp["mlp_ln"] if layer is None else lp["mlp_ln"][layer]
     x_q, x_scale, x_sum = _norm_quant(h, mlp_ln, spec)
     gate_up = _apply_linear(lp["gate_up"], spec, x_q, x_scale, x_sum,
@@ -793,7 +829,10 @@ def _layer_step(
     h = h + o_out.astype(h.dtype)
 
     # -- MLP block (dense SwiGLU, or MoE when mlp_fn is overridden) --
-    h = mlp_fn(h, lp, spec, layer_idx)
+    valid_rows = (
+        batch.segment_ids >= 0 if is_prefill else batch.active
+    )
+    h = mlp_fn(h, lp, spec, layer_idx, valid=valid_rows)
     return h, pools, page_idxes_l
 
 
@@ -918,7 +957,8 @@ def llama_forward(
         )
         return (h2, rpool, spool), page_idxes_l
 
-    inv_freq = rope_freqs(spec.head_dim, spec.rope_base, spec.rope_scaling)
+    inv_freq = rope_freqs(spec.head_dim, spec.rope_base,
+                          spec.rope_scaling, llama3_cfg=spec.rope_llama3)
     xs = (
         jnp.arange(spec.num_layers),
         meta["retrieval_flags"],

@@ -125,7 +125,7 @@ def _expert_bmm(weight, spec: MixtralSpec, x_q, x_scale=None, x_sum=None,
 
 
 def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec,
-            layer=None):
+            layer=None, valid=None):
     """Pre-norm MoE block: route -> dispatch -> expert SwiGLU -> combine.
 
     ``lp`` arrives STACKED over layers (llama_forward keeps the weights
@@ -148,7 +148,8 @@ def moe_mlp(h: jnp.ndarray, lp: Dict[str, Any], spec: MixtralSpec,
 
     x_n = rms_norm(h, lp["mlp_ln"], spec.rms_eps).astype(jnp.bfloat16)
     logits = jnp.dot(x_n, lp["gate"], preferred_element_type=jnp.float32)
-    routing = moe_ops.route_topk(logits, k, capacity)
+    # padding/inactive rows must not consume expert capacity slots
+    routing = moe_ops.route_topk(logits, k, capacity, valid=valid)
 
     if spec.ep_size > 1 and spec.tp_axis is not None:
         # Expert parallelism: the router (replicated) computes GLOBAL
@@ -315,6 +316,9 @@ def load_mixtral_params(model_config, spec: MixtralSpec,
     mlp_ln = np.ones((L, D), np.float32)
     embed = lm_head = None
     final_ln = np.ones((D,), np.float32)
+    k_pt = np.ones((L,), np.float32)
+    v_pt = np.ones((L,), np.float32)
+    has_pt_scales = False
 
     def layer_of(name):
         return int(name.split("layers.")[1].split(".")[0])
@@ -350,6 +354,14 @@ def load_mixtral_params(model_config, spec: MixtralSpec,
             w2[layer_of(name), expert_of(name)] = wt
         elif ".w3.weight" in name:
             w3[layer_of(name), expert_of(name)] = wt
+        elif "kv_scale_quant_orig" in name or "kv_scale" in name:
+            # per-tensor KV calib scales (same contract as the llama
+            # loader); dropping them served scale-1.0 KV quantization
+            li = layer_of(name)
+            flat = np.atleast_1d(wt)
+            k_pt[li] = float(flat[0])
+            v_pt[li] = float(flat[1] if flat.size > 1 else flat[0])
+            has_pt_scales = True
     assert embed is not None
     if lm_head is None:
         lm_head = embed
@@ -373,4 +385,7 @@ def load_mixtral_params(model_config, spec: MixtralSpec,
         "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank,
                                     tp_size),
     }
-    return params, None
+    kv_scales = None
+    if has_pt_scales and not model_config.kv_zeros:
+        kv_scales = (jnp.asarray(k_pt), jnp.asarray(v_pt))
+    return params, kv_scales

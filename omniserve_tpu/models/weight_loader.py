@@ -230,10 +230,15 @@ def load_llama_params(
     fp_layers = {
         "attn_ln": jnp.asarray(attn_ln),
         "mlp_ln": jnp.asarray(mlp_ln),
-        "qkv": jnp.asarray(fuse_qkv_rank_major(q, k, v, tp_size)),
-        "o": jnp.asarray(o),
-        "gate_up": jnp.asarray(fuse_gate_up_rank_major(gate, up, tp_size)),
-        "down": jnp.asarray(down),
+        # big weight stacks stay HOST numpy: quantize_layer_weights slices
+        # them one layer at a time — device-wrapping the full fp32 stacks
+        # here would put ~32 GB on a 16 GB chip before quantization runs
+        "qkv": np.ascontiguousarray(fuse_qkv_rank_major(q, k, v, tp_size)),
+        "o": np.ascontiguousarray(o),
+        "gate_up": np.ascontiguousarray(
+            fuse_gate_up_rank_major(gate, up, tp_size)
+        ),
+        "down": np.ascontiguousarray(down),
     }
     if spec.attn_bias:
         # same rank-major channel order as the fused qkv weight ([L, N]

@@ -26,6 +26,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from omniserve_tpu.ops.matmul import _unpack_halves
+
 
 class MoERouting(NamedTuple):
     combine_weights: jnp.ndarray  # [T, k] f32 renormalized top-k probs
@@ -37,16 +39,26 @@ def route_topk(
     router_logits: jnp.ndarray,  # [T, E] f32
     top_k: int,
     capacity: int,
+    valid: Optional[jnp.ndarray] = None,  # [T] bool; False = padding row
 ) -> MoERouting:
-    """Top-k expert choice with position-in-expert capacity slots."""
+    """Top-k expert choice with position-in-expert capacity slots.
+
+    ``valid`` excludes padding/inactive rows from the capacity count —
+    padding rows all share one embedding, route identically, and would
+    otherwise fill their expert's slots ahead of real tokens (rect
+    chunked-prefill layouts put row i's padding before row i+1's tokens).
+    """
     t, e = router_logits.shape
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     topv, topi = jax.lax.top_k(probs, top_k)              # [T, k]
     topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
     flat_e = topi.reshape(-1)                             # [T*k]
     onehot = jax.nn.one_hot(flat_e, e, dtype=jnp.int32)   # [T*k, E]
+    if valid is not None:
+        v_rep = jnp.repeat(valid, top_k)                  # [T*k]
+        onehot = onehot * v_rep[:, None].astype(jnp.int32)
     pos_in_e = (jnp.cumsum(onehot, axis=0) * onehot).sum(axis=1) - 1
-    keep = pos_in_e < capacity
+    keep = (pos_in_e >= 0) & (pos_in_e < capacity)
     slot = flat_e * capacity + jnp.clip(pos_in_e, 0, capacity - 1)
     slot = jnp.where(keep, slot, e * capacity)            # overflow slot
     return MoERouting(topv, slot.astype(jnp.int32), keep)
@@ -121,12 +133,6 @@ def _int8_bmm(a_i8: jnp.ndarray, w_i8: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _unpack_halves_b(qweight: jnp.ndarray):
-    lo = (qweight & 0xF).astype(jnp.int8)
-    hi = (qweight >> 4).astype(jnp.int8)
-    return lo, hi
-
-
 def w4a8_bmm_per_channel(
     a_i8: jnp.ndarray,       # [E, C, K] int8
     qweight: jnp.ndarray,    # [E, K/2, N] uint8
@@ -137,7 +143,7 @@ def w4a8_bmm_per_channel(
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     k2 = qweight.shape[1]
-    w_lo, w_hi = _unpack_halves_b(qweight)
+    w_lo, w_hi = _unpack_halves(qweight)
     psum = _int8_bmm(a_i8[:, :, :k2], w_lo) + _int8_bmm(a_i8[:, :, k2:], w_hi)
     out = (
         psum.astype(jnp.float32)
@@ -160,7 +166,7 @@ def w4a8_bmm_per_group(
     e, k2, n = qweight.shape
     k = 2 * k2
     g = k // group_size
-    w_u4 = jnp.concatenate(_unpack_halves_b(qweight), axis=1)  # [E, K, N]
+    w_u4 = jnp.concatenate(_unpack_halves(qweight), axis=1)  # [E, K, N]
     w_i8 = (
         w_u4.reshape(e, g, group_size, n).astype(jnp.int16)
         * s2_scales.astype(jnp.int16)[:, :, None, :]

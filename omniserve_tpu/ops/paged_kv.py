@@ -24,7 +24,8 @@ Pool layout (per pool — retrieval or streaming):
 - kv16:          data  [L, P, H, page, D] bfloat16 (no scales)
 - fine-grained scales/zeros: [L, P, H, page] float32 each
 - K min/max sub-chunk stats (retrieval pool, sparse decode):
-  [L, P, H, n_sub, 2, D] bfloat16 — stats[..., 0, :]=min, [..., 1, :]=max.
+  [L, P, H, 2*n_sub, D] float32 — row 2s = sub-chunk s min, row 2s+1 = max
+  (f32: the selector's upper bounds accumulate against running extrema).
 
 All updates are functional (jnp scatter); the engine jit-donates the pool
 arrays so XLA performs them in place.
@@ -109,17 +110,21 @@ class KVPool(NamedTuple):
     def kv_bits(self) -> int:
         if self.k_data.dtype == jnp.bfloat16:
             return 16
-        # packed int4 halves the token rows
+        # packed int4 halves the token rows vs the scale planes' per-token
+        # lanes
         page_rows = self.k_data.shape[3]
-        scale_rows = (
-            self.kv_scales.shape[3] // 4 if self.kv_scales is not None
-            else None
+        if self.kv_scales is not None:
+            scale_rows = self.kv_scales.shape[3] // 4
+            return 4 if page_rows * 2 == scale_rows else 8
+        # per-tensor pools carry no per-token planes, so kv4 and kv8 are
+        # indistinguishable from the data shapes alone — derive it with
+        # page context instead (kv_bits = 4 if rows * 2 == page_size
+        # else 8, as the kernels do)
+        raise ValueError(
+            "per-tensor quantized pool: kv_bits is not derivable without "
+            "page_size; use `4 if pool.k_data.shape[3] * 2 == page_size "
+            "else 8`"
         )
-        if scale_rows is not None and page_rows * 2 == scale_rows:
-            return 4
-        if self.kv_scales is None and self.k_scale_per_tensor is not None:
-            return 4 if page_rows * 2 == self.v_data.shape[3] * 2 else 8
-        return 8 if scale_rows == page_rows else 4
 
     @property
     def num_layers(self) -> int:

@@ -174,6 +174,12 @@ def quantize_weight_per_group(
         g_min = wg.min(axis=2)
         s2_scales = jnp.ceil(jnp.maximum((g_max - g_min) / INT4_LEVELS, 1.0))
         zeros = jnp.clip(_rint(-g_min / s2_scales), 0, INT4_LEVELS)
+        # The stored plane is -zeros * s2 in INT8: cap zeros so the
+        # product cannot wrap when a caller-provided s1 left no stage-2
+        # headroom (w_i8 spanning the full +-128 derives s2 up to 17 and
+        # zeros*s2 up to 136 -> int8 wrap = values off by 256). The
+        # derived-s1 path (119 target) never hits this cap.
+        zeros = jnp.minimum(zeros, jnp.floor(127.0 / s2_scales))
     assert zeros is not None and s2_scales is not None
     w_u4 = _rint(wg / s2_scales[..., None]) + zeros[..., None]
     w_u4 = jnp.clip(w_u4, 0, INT4_LEVELS).astype(jnp.uint8)

@@ -1,4 +1,4 @@
-"""Rotary position embedding (NeoX style, linear scaling supported).
+"""Rotary position embedding (NeoX style; linear + llama3 scaling).
 
 The reference applies RoPE inside its fused KV-update / MMHA kernels
 (applyBiasRopeUpdateKVCache.h:279-294); here it's a standalone functional
@@ -8,6 +8,9 @@ computation.
 
 from __future__ import annotations
 
+import math
+from typing import Optional, Tuple
+
 import jax.numpy as jnp
 
 
@@ -15,10 +18,27 @@ def rope_freqs(
     head_dim: int,
     base: float = 10000.0,
     scaling_factor: float = 1.0,
+    llama3_cfg: Optional[Tuple[float, float, float, float]] = None,
 ) -> jnp.ndarray:
-    """Inverse frequencies [head_dim/2]."""
+    """Inverse frequencies [head_dim/2].
+
+    ``llama3_cfg`` = (factor, low_freq_factor, high_freq_factor,
+    original_max_position): the Llama-3.1 context-extension remap — long
+    wavelengths scale by 1/factor, short wavelengths stay, the band
+    between interpolates (HF modeling_rope_utils._compute_llama3_*)."""
     exponents = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
     inv_freq = 1.0 / (base ** exponents)
+    if llama3_cfg is not None:
+        factor, low_f, high_f, orig_max = llama3_cfg
+        low_wavelen = orig_max / low_f
+        high_wavelen = orig_max / high_f
+        wavelen = 2.0 * math.pi / inv_freq
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen < high_wavelen, inv_freq,
+            jnp.where(wavelen > low_wavelen, inv_freq / factor, mid),
+        )
     return inv_freq / scaling_factor
 
 

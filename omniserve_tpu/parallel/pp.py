@@ -160,7 +160,8 @@ def llama_forward_pp(
     layers_p = params["layers"]
     l_local = meta["retrieval_flags"].shape[0]
     use_sparse = (not is_prefill) and spec.sparse_decode
-    inv_freq = rope_freqs(spec.head_dim, spec.rope_base, spec.rope_scaling)
+    inv_freq = rope_freqs(spec.head_dim, spec.rope_base,
+                          spec.rope_scaling, llama3_cfg=spec.rope_llama3)
 
     if is_prefill:
         # rectangular chunked-prefill batches ([B, Tc] flattened) can

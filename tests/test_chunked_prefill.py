@@ -138,3 +138,50 @@ def test_sparse_chunked_matches_single_shot(tiny_model_dir):
     assert want.keys() == got.keys()
     for k in want:
         assert want[k] == got[k], f"{k}: {want[k]} vs {got[k]}"
+
+
+def test_sparse_chunked_logits_exact(tiny_model_dir):
+    """Chunked sparse prefill must reproduce the single-shot LAST-TOKEN
+    LOGITS exactly (w16a16kv16): the greedy-token comparison above once
+    passed while the ring's dead-token skip (measured against the full
+    prompt instead of the running context) corrupted hidden states."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, 255, size=200).tolist()
+
+    def prefill_logits(chunk):
+        args = EngineArgs(
+            model=tiny_model_dir, precision="w16a16kv16",
+            load_format="dummy", block_size=16, max_num_seqs=8,
+            max_num_batched_tokens=8192, num_retrieval_blocks=128,
+            chunk_prefill_size=chunk, sparse_context_mode=True,
+            sparse_decode_mode=True, static_sparsity=0.5,
+            ctx_sink_size=16, ctx_local_size=64, dec_sink_size=16,
+            dec_local_size=32, sparse_kv_cache_budget=64,
+            max_model_len=1024,
+        )
+        engine = LLMEngine.from_engine_args(args)
+        engine.add_request(
+            "r0", prompt_token_ids=list(prompt),
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=1,
+                                           ignore_eos=True),
+        )
+        metadata, _ = engine.scheduler.schedule()
+        runner = engine.worker.model_runner
+        ce = runner.cache_engine
+        if chunk < len(prompt):
+            logits, _, _ = runner._execute_chunked_prefill(metadata, chunk)
+            return np.asarray(logits[0], np.float32)
+        batch, _, _ = runner._prepare_prefill(metadata)
+        logits, *_ = runner._forward[True](
+            runner.params, ce.retrieval_pool, ce.streaming_pool, batch
+        )
+        return np.asarray(logits[0], np.float32)
+
+    want = prefill_logits(32000)
+    got = prefill_logits(96)
+    # bf16 pool roundtrip of K/V bounds the legitimate gap at ~8.5e-4;
+    # the dead-skip bug produced 2.6e-3 (and dropped whole KV rows)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1.5e-3)
+    assert int(np.argmax(got)) == int(np.argmax(want))

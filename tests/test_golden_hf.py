@@ -184,3 +184,70 @@ def test_converter_end_to_end_serves(hf_checkpoint, tmp_path):
     got = run_engine(str(packed_dir), PROMPT, 4, "w4a8kv4")
     want = run_engine(path, PROMPT, 4, "w4a8kv4")
     assert got[:2] == want[:2], (got, want)
+
+
+def test_llama3_rope_scaling_matches_hf(tmp_path):
+    """Llama-3.1-style rope_scaling (type 'llama3'): the frequency remap
+    must match HF's _compute_llama3_parameters — previously the type was
+    silently ignored (unscaled rotary angles past the original window)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(1)
+    cfg = LlamaConfig(
+        hidden_size=128, intermediate_size=256, num_attention_heads=8,
+        num_key_value_heads=4, num_hidden_layers=2, vocab_size=512,
+        max_position_embeddings=256, rope_theta=10000.0,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 8.0,
+            "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+    )
+    model = LlamaForCausalLM(cfg)
+    model.eval()
+    d = tmp_path / "llama3_rope"
+    model.save_pretrained(d)
+
+    # long prompt (past the original 64-token window) so wrong angles bite
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, 511, size=100).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([prompt])).logits[0, -1].float().numpy()
+    # model_logits above is PROMPT-specific; inline the forward here
+    import jax.numpy as jnp
+
+    from omniserve_tpu.config import ModelConfig
+    from omniserve_tpu.models.llama import (
+        LlamaSpec, PrefillBatch, llama_forward,
+    )
+    from omniserve_tpu.models.weight_loader import load_llama_params
+    from omniserve_tpu.ops.paged_kv import make_kv_pool
+
+    mc = ModelConfig(model=str(d), precision="w16a16kv16")
+    spec = LlamaSpec.from_model_config(mc, page_size=16)
+    assert spec.rope_llama3 is not None
+    params, _ = load_llama_params(mc, spec)
+    t = len(prompt)
+    tp = 16 * ((t + 15) // 16)
+    n_pages = tp // 16
+    pool = make_kv_pool(spec.num_layers, n_pages + 1, spec.num_kv_heads,
+                        16, spec.head_dim, kv_bits=16, kv_zeros=True)
+    batch = PrefillBatch(
+        token_ids=jnp.asarray(np.pad(prompt, (0, tp - t))),
+        positions=jnp.asarray(
+            np.pad(np.arange(t), (0, tp - t), constant_values=-1)),
+        segment_ids=jnp.asarray(
+            np.pad(np.zeros(t, np.int32), (0, tp - t),
+                   constant_values=-1)),
+        block_tables=jnp.asarray([list(range(n_pages))], jnp.int32),
+        streaming_block_tables=jnp.zeros((1, 1), jnp.int32),
+        last_token_idx=jnp.asarray([t - 1]),
+        seq_lens=jnp.asarray([t]),
+        new_page_ids=jnp.asarray(list(range(n_pages)) + [-1], jnp.int32),
+    )
+    logits, _, _, _ = llama_forward(
+        params, pool, None, batch, spec=spec, is_prefill=True
+    )
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.05)
+    assert int(got.argmax()) == int(want.argmax())

@@ -213,3 +213,28 @@ class TestExpertParallelEquivalence:
             np.asarray(dlogits1, np.float32)[0],
             np.asarray(dlogits_n, np.float32)[0], atol=0.08, rtol=0.05,
         )
+
+
+def test_padding_rows_do_not_consume_capacity():
+    """Padding rows (identical embeddings, identical routing) precede
+    later sequences' real tokens in the rect chunk layout; unmasked they
+    fill the preferred expert's capacity and evict every real token."""
+    import jax.numpy as jnp
+
+    t, e, k, cap = 16, 8, 2, 8
+    logits = np.full((t, e), -10.0, np.float32)
+    logits[:, 0] = 5.0          # everyone's top-1 = expert 0
+    logits[:, 1] = 1.0
+    valid = np.zeros((t,), bool)
+    valid[12:] = True           # 12 padding rows BEFORE 4 real tokens
+
+    masked = moe_ops.route_topk(
+        jnp.asarray(logits), k, cap, valid=jnp.asarray(valid)
+    )
+    keep = np.asarray(masked.keep).reshape(t, k)
+    assert keep[12:].all(), "real tokens were evicted by padding rows"
+    assert not keep[:12].any(), "padding rows occupied expert slots"
+
+    unmasked = moe_ops.route_topk(jnp.asarray(logits), k, cap)
+    keep_u = np.asarray(unmasked.keep).reshape(t, k)
+    assert not keep_u[12:, 0].any()   # demonstrates the failure mode
