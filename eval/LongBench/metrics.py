@@ -93,6 +93,13 @@ def classification_score(prediction: str, ground_truth: str,
         c for c in (all_classes or []) if c.lower() in prediction.lower()
     ]
     gt = ground_truth.lower()
+    # classes that are substrings of the ground truth don't count as
+    # competing predictions (reference metrics.py behavior: an exact
+    # correct answer containing a shorter class name still scores 1.0)
+    em_matches = [
+        c for c in em_matches
+        if c.lower() == gt or c.lower() not in gt
+    ]
     if gt in prediction.lower():
         # penalize predicting several classes
         return 1.0 / max(len(em_matches), 1)
@@ -100,14 +107,25 @@ def classification_score(prediction: str, ground_truth: str,
 
 
 def retrieval_score(prediction: str, ground_truth: str, **kw) -> float:
-    m = re.findall(r"\d+", ground_truth)
-    gt_num = m[0] if m else normalize_answer(ground_truth)
-    return float(gt_num in re.findall(r"\d+", prediction))
+    # fraction of the prediction's numbers that match (reference
+    # protocol) — binary membership would reward hedging with many
+    # candidate paragraph numbers
+    m = re.findall(r"Paragraph (\d+)", ground_truth)
+    gt_num = m[0] if m else (
+        re.findall(r"\d+", ground_truth) or [normalize_answer(ground_truth)]
+    )[0]
+    numbers = re.findall(r"\d+", prediction)
+    if not numbers:
+        return 0.0
+    return sum(1 for n in numbers if n == gt_num) / len(numbers)
 
 
 def count_score(prediction: str, ground_truth: str, **kw) -> float:
     nums = re.findall(r"\d+", prediction)
-    return float(str(ground_truth).strip() in nums)
+    if not nums:
+        return 0.0
+    gt = str(ground_truth).strip()
+    return sum(1 for n in nums if n == gt) / len(nums)
 
 
 def code_sim_score(prediction: str, ground_truth: str, **kw) -> float:

@@ -87,12 +87,15 @@ MAX_GEN = {
 
 
 def middle_truncate(tokenizer, prompt: str, max_len: int) -> str:
-    """Keep head and tail, drop the middle (reference pred.py:66-72)."""
+    """Keep head and tail, drop the middle (reference pred.py:66-72).
+    skip_special_tokens drops the BOS text that decode() would otherwise
+    re-inject (the engine's encode adds its own BOS again)."""
     ids = tokenizer.encode(prompt)
     if len(ids) <= max_len:
         return prompt
     half = max_len // 2
-    return tokenizer.decode(ids[:half]) + tokenizer.decode(ids[-half:])
+    return (tokenizer.decode(ids[:half], skip_special_tokens=True)
+            + tokenizer.decode(ids[-half:], skip_special_tokens=True))
 
 
 def main() -> None:
@@ -100,7 +103,12 @@ def main() -> None:
     EngineArgs.add_cli_args(parser)
     parser.add_argument("--datasets", nargs="+",
                         default=list(DATASET_PROMPTS))
-    parser.add_argument("--max-prompt-len", type=int, default=120000)
+    parser.add_argument(
+        "--max-prompt-len", type=int, default=None,
+        help="truncation budget; defaults to the engine's max_model_len "
+        "minus the generation budget (an over-budget prompt would be "
+        "silently IGNORED by the scheduler, scoring 0)",
+    )
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--out-dir", type=str, default="pred")
     parser.add_argument(
@@ -123,6 +131,11 @@ def main() -> None:
     engine = LLMEngine.from_engine_args(EngineArgs.from_cli_args(args))
     tokenizer = engine.tokenizer
     os.makedirs(args.out_dir, exist_ok=True)
+    max_gen_all = max(MAX_GEN.values())
+    if args.max_prompt_len is None:
+        args.max_prompt_len = (
+            engine.model_config.max_model_len - max_gen_all - 8
+        )
 
     for name in args.datasets:
         if args.data_dir is not None:

@@ -103,7 +103,7 @@ def run_test(engine: LLMEngine, tokenizer, context_len: int,
              depth_pct: float) -> dict:
     haystack = build_haystack(tokenizer, context_len, depth_pct)
     prompt = (
-        f"<|begin_of_text|>Context: {haystack}\n\nQuestion: {QUESTION}\n"
+        f"Context: {haystack}\n\nQuestion: {QUESTION}\n"
         f"Answer:"
     )
     t0 = time.time()

@@ -35,7 +35,7 @@ def main() -> None:
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(10, 5))
-        im = ax.imshow(grid, vmin=0, vmax=1, cmap="RdYlGn", aspect="auto")
+        im = ax.imshow(grid, vmin=0, vmax=10, cmap="RdYlGn", aspect="auto")
         ax.set_xticks(range(len(lengths)))
         ax.set_xticklabels([f"{L//1024}K" if L >= 1024 else str(L)
                             for L in lengths])

@@ -169,11 +169,28 @@ class SpAttnConfig:
                 self.head_rank_table = None  # rebuilt below
                 thresh = None
             else:
-                thresh = np.quantile(
-                    self.scores.reshape(-1), self.static_sparsity
+                # Rank-based selection instead of `scores > quantile`:
+                # DuoAttention score files commonly saturate many heads at
+                # the same value (e.g. 1.0), and a strict threshold at a
+                # tied quantile collapses the retrieval set to ~zero heads
+                # (~100% sparsity) instead of the requested fraction. Ties
+                # break by head index then layer, spreading tied picks
+                # evenly across layers.
+                flat = self.scores.reshape(-1)
+                n_total = flat.size
+                n_keep = max(1, int(round(
+                    n_total * (1.0 - self.static_sparsity)
+                )))
+                lay = np.repeat(np.arange(self.num_layers),
+                                self.num_kv_heads)
+                hid = np.tile(np.arange(self.num_kv_heads),
+                              self.num_layers)
+                order = np.lexsort((lay, hid, -flat))
+                flags = np.zeros(n_total, dtype=bool)
+                flags[order[:n_keep]] = True
+                self.retrieval_head_flags = flags.reshape(
+                    self.scores.shape
                 )
-            if thresh is not None:
-                self.retrieval_head_flags = self.scores > thresh
             # Guarantee at least one retrieval head per layer so every layer
             # keeps full-history capability.
             for layer in range(self.num_layers):

@@ -85,6 +85,13 @@ class Conversation:
                 if msg is not None:
                     ret += f"{msg}<|im_end|>\n"
             return ret
+        if self.style == "raw":
+            # base (non-chat) models: message text verbatim, no role
+            # wrapping — the colon format would wrap 64K-token contexts
+            # in "user: ...\nassistant:" noise
+            return "".join(
+                msg for _, msg in self.messages if msg is not None
+            )
         # add_colon_single (vicuna-style)
         ret = system + self.sep if system else ""
         for role, msg in self.messages:

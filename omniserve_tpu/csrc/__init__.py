@@ -31,16 +31,25 @@ def _src_digest() -> str:
 
 
 def _build() -> bool:
+    # build to a per-process temp path and os.replace (atomic) into place:
+    # concurrent worker processes racing g++ on one output path could
+    # leave a truncated .so whose hash file validates forever
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _SO],
+             "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _SO)
         with open(_HASH, "w") as f:
             f.write(_src_digest())
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -65,7 +74,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
-        return None
+        # corrupt/foreign-arch binary: rebuild once instead of silently
+        # using the numpy path forever (the hash file says "fresh")
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     i8p = ctypes.POINTER(ctypes.c_int8)
     lib.pad_block_tables.argtypes = [

@@ -498,7 +498,9 @@ class LLMEngine:
                             len(sp.decoding_sim_token_ids) - 1,
                         )
                     ]
-                seq.append_token_id(token)
+                seq.append_token_id(
+                    token, getattr(sample, "logprob", 0.0)
+                )
                 if self.tokenizer is not None and check_stop:
                     new_text, seq.prefix_offset, seq.read_offset = (
                         detokenize_incrementally(

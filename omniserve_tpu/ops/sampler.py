@@ -27,7 +27,11 @@ def sample(
     top_p: jnp.ndarray,        # [] or [B] float32
     top_k=-1,                  # [] or [B] int32; <= 0 disables
 ) -> jnp.ndarray:
-    """Returns sampled token ids [B].
+    """Returns (token ids [B], logprobs [B]).
+
+    ``logprobs`` are log-softmax of the RAW logits at the chosen token
+    (the vLLM convention) — they accumulate into
+    SequenceData.cumulative_logprob so best_of candidates can be ranked.
 
     ``top_k`` defaults to a plain int (NOT a device array): a jnp default
     would initialize the XLA backend at import time, which breaks
@@ -66,4 +70,8 @@ def sample(
 
     sampled_ids = jax.random.categorical(rng, filtered, axis=-1)
     is_greedy = temperature < 1e-5
-    return jnp.where(is_greedy, greedy_ids, sampled_ids).astype(jnp.int32)
+    ids = jnp.where(is_greedy, greedy_ids, sampled_ids).astype(jnp.int32)
+    logprobs = jnp.take_along_axis(
+        jax.nn.log_softmax(logits, axis=-1), ids[:, None], axis=-1
+    )[:, 0]
+    return ids, logprobs

@@ -49,8 +49,17 @@ class RequestOutput:
 
     @classmethod
     def from_seq_group(cls, seq_group: SequenceGroup) -> "RequestOutput":
+        # best-first (vLLM convention): rank candidates by cumulative
+        # logprob and return sampling_params.n of the best_of candidates
+        seqs = sorted(
+            seq_group.get_seqs(),
+            key=lambda s: s.data.cumulative_logprob, reverse=True,
+        )
+        n = getattr(seq_group.sampling_params, "n", len(seqs)) or len(seqs)
+        if seq_group.is_finished():
+            seqs = seqs[:n]
         outputs = []
-        for i, seq in enumerate(seq_group.get_seqs()):
+        for i, seq in enumerate(seqs):
             outputs.append(
                 CompletionOutput(
                     index=i,

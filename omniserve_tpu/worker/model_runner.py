@@ -477,11 +477,11 @@ class ModelRunner:
                 top_ks[rows[i]] = sp.top_k
                 i += 1
         self._rng, key = jax.random.split(self._rng)
-        ids = sample(
+        ids, logprobs = sample(
             logits, key, jnp.asarray(temps), jnp.asarray(top_ps),
             top_k=jnp.asarray(top_ks),
         )
-        return np.asarray(ids)
+        return np.asarray(ids), np.asarray(logprobs)
 
     # -- multi-step decode (static batch, greedy) ----------------------------
     def start_multi_step(
@@ -792,8 +792,9 @@ class ModelRunner:
                 )
                 ce.set_pools(rpool, spool)
             rows = list(range(n_seqs))
-            token_ids = self._sample(logits, metadata, rows)
+            token_ids, logprobs = self._sample(logits, metadata, rows)
             sampled = token_ids[:n_seqs]
+            sampled_lp = logprobs[:n_seqs]
         else:
             batch, seq_ids, slots, _ = self._prepare_decode(metadata)
             logits, rpool, spool, new_sel = self._forward[False](
@@ -802,8 +803,9 @@ class ModelRunner:
             ce.set_pools(rpool, spool)
             if new_sel is not None:
                 self._cached_page_idxes = new_sel
-            token_ids = self._sample(logits, metadata, slots)
+            token_ids, logprobs = self._sample(logits, metadata, slots)
             sampled = token_ids[slots]
+            sampled_lp = logprobs[slots]
 
         # map sampled tokens back to groups
         outputs: SamplerOutput = []
@@ -811,7 +813,9 @@ class ModelRunner:
         for group in metadata:
             samples = []
             for seq_id in group.seq_data:
-                samples.append(SequenceOutput(seq_id, int(sampled[i])))
+                samples.append(SequenceOutput(
+                    seq_id, int(sampled[i]), float(sampled_lp[i])
+                ))
                 i += 1
             outputs.append(SequenceGroupOutput(samples))
         return outputs

@@ -223,3 +223,24 @@ def test_import_does_not_initialize_backend():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert out.returncode == 0 and "clean" in out.stdout, out.stderr[-2000:]
+
+
+class TestSparsityTies:
+    def test_saturated_scores_keep_requested_fraction(self):
+        # 70% of scores tied at 1.0: a strict > quantile threshold would
+        # collapse to ~1 retrieval head/layer (~97% sparsity)
+        rng = np.random.default_rng(0)
+        L, H = 4, 8
+        scores = np.full((L, H), 1.0, np.float32)
+        low = rng.random((L, H)) < 0.3
+        scores[low] = rng.random(low.sum()).astype(np.float32) * 0.5
+        cfg = sparse_attn_init(
+            sparse_context_mode=True, sparse_decode_mode=True,
+            static_sparsity=0.5, num_layers=L, num_kv_heads=H,
+            scores=scores,
+        )
+        n_retr = int(cfg.retrieval_head_flags.sum())
+        assert n_retr == L * H // 2, n_retr
+        # tied picks spread across layers, not front-loaded
+        per_layer = cfg.retrieval_head_flags.sum(axis=1)
+        assert per_layer.min() >= 1 and per_layer.max() <= H - 1

@@ -76,3 +76,33 @@ class TestMetrics:
         assert retrieval_score("Paragraph 7", "7") == 1.0
         assert retrieval_score("Paragraph 3", "7") == 0.0
         assert count_score("there are 12 unique ones", "12") == 1.0
+
+
+def test_raw_template_is_verbatim():
+    from omniserve_tpu.conversation import get_conv_template
+
+    conv = get_conv_template("raw")
+    conv.append_message(conv.roles[0] if conv.roles else "user",
+                        "just the context text")
+    conv.append_message(conv.roles[1] if conv.roles else "assistant", None)
+    out = conv.get_prompt()
+    assert out == "just the context text", out
+
+
+def test_retrieval_and_count_scores_are_fractional():
+    from metrics import count_score, retrieval_score
+
+    # hedging with several numbers must not score 1.0
+    assert retrieval_score("maybe 3, 7 or 12", "Paragraph 7") == 1 / 3
+    assert retrieval_score("Paragraph 7", "Paragraph 7") == 1.0
+    assert count_score("3 or 4", "4") == 0.5
+    assert count_score("4", "4") == 1.0
+
+
+def test_classification_ignores_substring_classes():
+    from metrics import classification_score
+
+    classes = ["description", "description of a person", "location"]
+    assert classification_score(
+        "description of a person", "description of a person", classes
+    ) == 1.0

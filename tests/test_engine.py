@@ -240,19 +240,31 @@ def test_abort_request_frees_worker_slot(tiny_model_dir):
 
 
 def test_best_of_two_completions(tiny_model_dir):
-    """best_of=2: the group forks two sequences that sample independently
-    and the final RequestOutput carries both completions."""
-    engine = make_engine(tiny_model_dir)
-    engine.add_request(
-        "r0", prompt_token_ids=[3, 1, 4, 1, 5, 9],
-        sampling_params=SamplingParams(
-            temperature=0.7, best_of=2, max_tokens=4, ignore_eos=True),
-    )
-    outs = []
-    while engine.has_unfinished_requests():
-        outs = engine.step()
-    final = outs[-1]
-    assert final.finished and len(final.outputs) == 2
+    """best_of=2, n=1: two forks sample independently; the final output
+    carries only the BEST candidate by cumulative logprob (vLLM
+    semantics). n=2 returns both, best-first."""
+    def run(n):
+        engine = make_engine(tiny_model_dir)
+        engine.add_request(
+            "r0", prompt_token_ids=[3, 1, 4, 1, 5, 9],
+            sampling_params=SamplingParams(
+                n=n, temperature=0.7, best_of=2, max_tokens=4,
+                ignore_eos=True),
+        )
+        outs = []
+        while engine.has_unfinished_requests():
+            outs = engine.step()
+        return outs[-1]
+
+    final = run(1)
+    assert final.finished and len(final.outputs) == 1
+    assert len(final.outputs[0].token_ids) == 4
+    assert final.outputs[0].cumulative_logprob < 0.0   # actually tracked
+
+    final = run(2)
+    assert len(final.outputs) == 2
+    lps = [c.cumulative_logprob for c in final.outputs]
+    assert lps == sorted(lps, reverse=True)
     for comp in final.outputs:
         assert len(comp.token_ids) == 4
 
