@@ -20,6 +20,9 @@ A100_BASELINE_TOKS = 3005.0
 
 
 def main() -> None:
+    from omniserve_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from omniserve_tpu.models.llama import (
         DecodeBatch,
         LlamaSpec,

@@ -65,6 +65,9 @@ class ModelRunner:
         load_format: str = "auto",
         mesh=None,
     ) -> None:
+        from omniserve_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.model_config = model_config
         self.cache_config = cache_config
         self.scheduler_config = scheduler_config
