@@ -63,6 +63,9 @@ class ModelConfig:
         dtype: str = "bfloat16",
         seed: int = 0,
         trust_remote_code: bool = True,
+        revision: Optional[str] = None,
+        code_revision: Optional[str] = None,
+        download_dir: Optional[str] = None,
     ) -> None:
         self.model = model
         self.precision = precision
@@ -86,11 +89,18 @@ class ModelConfig:
         self.kv_quant_granularity = kv_quant_granularity
         self.kv_zeros = kv_quant_granularity == "fine_grained"
 
+        self.revision = revision
+        self.code_revision = code_revision
+        self.download_dir = download_dir
         if hf_config is None:
             from transformers import AutoConfig
 
             hf_config = AutoConfig.from_pretrained(
-                model, trust_remote_code=trust_remote_code
+                model,
+                trust_remote_code=trust_remote_code,
+                revision=revision,
+                code_revision=code_revision,
+                cache_dir=download_dir,
             )
         self.hf_config = hf_config
         derived_max = getattr(hf_config, "max_position_embeddings", MAX_SEQ_LEN)
@@ -188,6 +198,11 @@ class SchedulerConfig:
     max_num_seqs: int = 256
     max_model_len: int = MAX_SEQ_LEN
     chunk_prefill_size: int = 32000
+    # max padding tokens admitted into one prefill batch (reference
+    # arg_utils.py:269-274 / scheduler.py): prompts are right-padded to
+    # the longest prompt in the batch, so mixing very unequal lengths
+    # wastes compute — stop admitting when the pad total would exceed this
+    max_paddings: int = 256
 
     def __post_init__(self) -> None:
         if self.max_num_batched_tokens < self.max_num_seqs:

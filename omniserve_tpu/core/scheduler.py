@@ -159,6 +159,7 @@ class Scheduler:
         if not self.swapped:
             scheduled: List[SequenceGroup] = []
             num_batched_tokens = 0
+            seq_lens: List[int] = []
             num_curr_seqs = sum(
                 g.get_max_num_running_seqs() for g in self.running
             )
@@ -205,8 +206,15 @@ class Scheduler:
                 new_seqs = seq_group.get_max_num_running_seqs()
                 if num_curr_seqs + new_seqs > self.scheduler_config.max_num_seqs:
                     break
+                # prompts run right-padded to the batch max; cap the waste
+                # (reference arg_utils.py:269-274 --max-paddings)
+                lens = seq_lens + [n_prompt]
+                n_pad = max(lens) * len(lens) - sum(lens)
+                if seq_lens and n_pad > self.scheduler_config.max_paddings:
+                    break
 
                 self.waiting.popleft()
+                seq_lens.append(n_prompt)
                 self.block_manager.allocate(seq_group)
                 for seq in seq_group.get_seqs(SequenceStatus.WAITING):
                     seq.status = SequenceStatus.RUNNING

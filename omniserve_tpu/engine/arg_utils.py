@@ -31,6 +31,7 @@ from omniserve_tpu.utils.constants import PAGE_SIZE
 class EngineArgs:
     model: str
     tokenizer: Optional[str] = None
+    tokenizer_mode: str = "auto"
     precision: str = "w16a16kv16"
     quant_path: Optional[str] = None
     group_size: int = -1
@@ -39,6 +40,31 @@ class EngineArgs:
     trust_remote_code: bool = True
     max_model_len: Optional[int] = None
     seed: int = 0
+    # reference kv-cache overrides (arg_utils.py:192-200, config.py): these
+    # rewrite the kv part of --precision so reference launch scripts that
+    # spell kv settings separately run unmodified
+    dtype: str = "auto"
+    kv_cache_dtype: Optional[str] = None
+    int4_kv: bool = False
+    kv_zp: bool = False
+    quantization: Optional[str] = None
+    # HF loading knobs (reference arg_utils.py:153-181)
+    revision: Optional[str] = None
+    code_revision: Optional[str] = None
+    tokenizer_revision: Optional[str] = None
+    download_dir: Optional[str] = None
+    max_parallel_loading_workers: Optional[int] = None
+    # logging (reference arg_utils.py:275-280 + AsyncEngineArgs)
+    disable_log_stats: bool = False
+    disable_log_requests: bool = False
+    max_log_len: Optional[int] = None
+    # device / CUDA-graph knobs: accepted for parity; graphs do not exist
+    # on TPU (everything is one XLA program), custom all-reduce is XLA's
+    device: str = "auto"
+    enforce_eager: bool = False
+    max_context_len_to_capture: int = 8192
+    disable_custom_all_reduce: bool = False
+    max_paddings: int = 256
     # parallel
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
@@ -77,6 +103,60 @@ class EngineArgs:
     def add_cli_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         parser.add_argument("--model", type=str, required=True)
         parser.add_argument("--tokenizer", type=str, default=None)
+        parser.add_argument("--tokenizer-mode", type=str, default="auto",
+                            choices=["auto", "slow"],
+                            help='"auto" uses the fast tokenizer when '
+                                 'available, "slow" always the slow one')
+        parser.add_argument("--revision", type=str, default=None,
+                            help="HF revision of the model weights/config")
+        parser.add_argument("--code-revision", type=str, default=None,
+                            help="HF revision for remote model code")
+        parser.add_argument("--tokenizer-revision", type=str, default=None)
+        parser.add_argument("--download-dir", type=str, default=None,
+                            help="HF cache directory for downloads")
+        parser.add_argument("--max-parallel-loading-workers", type=int,
+                            default=None,
+                            help="accepted for reference-CLI parity; the "
+                                 "TPU loader streams tensors sequentially")
+        parser.add_argument("--dtype", type=str, default="auto",
+                            choices=["auto", "half", "float16", "bfloat16",
+                                     "float", "float32"],
+                            help="activation dtype; fp16 spellings map to "
+                                 "bfloat16 on TPU (no native fp16)")
+        parser.add_argument("--kv-cache-dtype", type=str, default=None,
+                            choices=["int8", "int4", "fp16", "auto"],
+                            help="overrides the kv part of --precision "
+                                 "(fp16 -> kv16 bf16 storage on TPU)")
+        parser.add_argument("--int4-kv", action="store_true",
+                            help="4-bit KV cache (same as kv4 precision)")
+        parser.add_argument("--kv-zp", action="store_true",
+                            help="zero-point (fine-grained) KV quant")
+        parser.add_argument("--quantization", "-q", type=str, default=None,
+                            choices=["awq", "gptq", "squeezellm"],
+                            help="reference weight-quant methods; the TPU "
+                                 "runtime serves QoQ checkpoints — convert "
+                                 "with scripts/ckpt_converter first")
+        parser.add_argument("--disable-log-stats", action="store_true",
+                            help="disable periodic engine stats logging")
+        parser.add_argument("--disable-log-requests", action="store_true")
+        parser.add_argument("--max-log-len", type=int, default=None,
+                            help="truncate logged prompts to this length")
+        parser.add_argument("--device", type=str, default="auto",
+                            choices=["auto", "tpu", "cuda", "cpu"],
+                            help='"cuda" is accepted for script parity and '
+                                 "mapped to the available backend")
+        parser.add_argument("--enforce-eager", action="store_true",
+                            help="no-op on TPU (no CUDA graphs; the step "
+                                 "is always one compiled XLA program)")
+        parser.add_argument("--max-context-len-to-capture", type=int,
+                            default=8192,
+                            help="no-op on TPU (CUDA-graph capture bound)")
+        parser.add_argument("--disable-custom-all-reduce",
+                            action="store_true",
+                            help="no-op on TPU (XLA owns collectives)")
+        parser.add_argument("--max-paddings", type=int, default=256,
+                            help="max padding tokens admitted into one "
+                                 "prefill batch")
         parser.add_argument("--precision", type=str, default="w16a16kv16",
                             help="e.g. w4a8kv4, w4a8kv8, w8a8kv8, w16a16kv8")
         parser.add_argument("--quant-path", type=str, default=None)
@@ -153,16 +233,58 @@ class EngineArgs:
         fields = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in vars(args).items() if k in fields})
 
+    def _effective_precision_and_granularity(self):
+        """Fold the reference's separate kv flags into the precision string.
+
+        ``--kv-cache-dtype`` / ``--int4-kv`` / ``--kv-zp`` override the kv
+        part of ``--precision`` (reference config.py builds its kv cache
+        config from exactly these three)."""
+        precision = self.precision
+        granularity = self.kv_quant_granularity
+        kv_bits = None
+        if self.kv_cache_dtype not in (None, "auto"):
+            kv_bits = {"int8": 8, "int4": 4, "fp16": 16}[self.kv_cache_dtype]
+        if self.int4_kv:
+            kv_bits = 4
+        if kv_bits is not None:
+            import re
+
+            precision = re.sub(r"kv\d+$", f"kv{kv_bits}", precision)
+            if not precision.endswith(f"kv{kv_bits}"):
+                precision = f"{precision}kv{kv_bits}"
+        if self.kv_zp:
+            granularity = "fine_grained"
+        return precision, granularity
+
+    @staticmethod
+    def _map_dtype(dtype: str) -> str:
+        if dtype in ("auto", "half", "float16", "bfloat16"):
+            # fp16 spellings map to bf16: TPUs have no fp16 compute; bf16
+            # shares fp32's exponent so no loss-scale is needed
+            return "bfloat16"
+        return "float32"
+
     def create_engine_configs(self) -> dict:
+        precision, granularity = self._effective_precision_and_granularity()
+        if self.quantization is not None:
+            raise ValueError(
+                f"--quantization {self.quantization} checkpoints are not "
+                "served directly; convert to a QoQ dump with "
+                "scripts/ckpt_converter and pass --quant-path"
+            )
         model_config = ModelConfig(
             model=self.model,
-            precision=self.precision,
+            precision=precision,
             quant_path=self.quant_path,
             max_model_len=self.max_model_len,
             group_size=self.group_size,
-            kv_quant_granularity=self.kv_quant_granularity,
+            kv_quant_granularity=granularity,
+            dtype=self._map_dtype(self.dtype),
             seed=self.seed,
             trust_remote_code=self.trust_remote_code,
+            revision=self.revision,
+            code_revision=self.code_revision,
+            download_dir=self.download_dir,
         )
         sp_attn_config: Optional[SpAttnConfig] = None
         if self.sparse_context_mode or self.sparse_decode_mode:
@@ -231,18 +353,31 @@ class EngineArgs:
             max_num_seqs=self.max_num_seqs,
             max_model_len=model_config.max_model_len,
             chunk_prefill_size=self.chunk_prefill_size,
+            max_paddings=self.max_paddings,
         )
+        device = self.device
+        if device in ("auto", "cuda"):
+            # "cuda" appears in reference launch scripts; serve on what
+            # this host actually has
+            device = "tpu"
         return dict(
             model_config=model_config,
             cache_config=cache_config,
             parallel_config=parallel_config,
             scheduler_config=scheduler_config,
-            device_config=DeviceConfig(),
+            device_config=DeviceConfig(device=device),
             ifb_config=IFBConfig(ifb_mode=self.ifb_mode,
                                  decode_multi_step=self.decode_multi_step),
             sp_attn_config=sp_attn_config,
             load_format=self.load_format,
             tokenizer_path=self.tokenizer,
+            tokenizer_mode=self.tokenizer_mode,
+            tokenizer_revision=self.tokenizer_revision,
+            revision=self.revision,
+            download_dir=self.download_dir,
             benchmarking_mode=self.benchmarking_mode,
             omit_prompt=self.omit_prompt,
+            log_stats=not self.disable_log_stats,
+            log_requests=not self.disable_log_requests,
+            max_log_len=self.max_log_len,
         )

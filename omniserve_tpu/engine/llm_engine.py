@@ -61,9 +61,14 @@ class LLMEngine:
         load_format: str = "auto",
         tokenizer_mode: str = "auto",
         tokenizer_path=None,
+        tokenizer_revision: Optional[str] = None,
+        revision: Optional[str] = None,
+        download_dir: Optional[str] = None,
         benchmarking_mode: bool = False,
         omit_prompt: bool = False,
         log_stats: bool = False,
+        log_requests: bool = True,
+        max_log_len: Optional[int] = None,
     ) -> None:
         self.model_config = model_config
         self.cache_config = cache_config
@@ -74,13 +79,18 @@ class LLMEngine:
         self.benchmarking_mode = benchmarking_mode
         self.omit_prompt = omit_prompt
         self.log_stats = log_stats
+        self.log_requests = log_requests
+        self.max_log_len = max_log_len
         self.seq_counter = Counter()
 
         self.tokenizer = None
         if tokenizer_mode != "skip":
             try:
                 self.tokenizer = get_tokenizer(
-                    tokenizer_path or model_config.model
+                    tokenizer_path or model_config.model,
+                    tokenizer_mode=tokenizer_mode,
+                    revision=tokenizer_revision or revision,
+                    download_dir=download_dir,
                 )
             except Exception as e:  # dummy/benchmark models have no files
                 logger.warning("tokenizer unavailable (%s); text decode off", e)

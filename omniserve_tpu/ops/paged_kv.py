@@ -49,7 +49,7 @@ class KVPool(NamedTuple):
     """One KV pool (all layers). Optional fields are None when unused.
 
     The four fine-grained quant-param planes live INTERLEAVED in one array
-    ``kv_scales[L, P, H, 4*page]`` and are stored PRE-FOLDED for the
+    ``kv_scales[L, P, 4, H, page]`` and are stored PRE-FOLDED for the
     single-pass kv4 decode kernel (its magic-bitcast unpack yields
     128 + nibble):
 
@@ -66,10 +66,12 @@ class KVPool(NamedTuple):
 
     k_data: jnp.ndarray
     v_data: jnp.ndarray
-    # [L, P, H, 4*page] f32: planes (k_scale|k_zero|v_scale|v_zero) stacked
-    # along the LANE axis — trailing dims (H, 4*page) are tile-aligned, so
-    # flat reshapes for scatter/gather are free bitcasts (a [.., 4, page]
-    # layout pads each (4, page) tile to (8, 128): 4x memory + copies)
+    # [L, P, 4, H, page] f32: planes (k_scale|k_zero|v_scale|v_zero) on a
+    # LEADING axis so (a) the trailing (H, page) dims tile without padding
+    # (a [.., 4, page] tail pads (4, 128) tiles to (8, 128): 2x memory),
+    # and (b) the decode kernels' scale gather is ONE lax.gather straight
+    # into the [B, 4, H, lanes] block layout — no transpose pass over the
+    # ~0.7 GB of per-step gathered params
     kv_scales: Optional[jnp.ndarray]
     # [L, P, H, n_sub*2, D]: row 2i = sub-chunk i min, 2i+1 = max (merged
     # so trailing dims are tile-aligned; a [.., 2, D] tail pads 4x)
@@ -79,10 +81,10 @@ class KVPool(NamedTuple):
     v_scale_per_tensor: Optional[jnp.ndarray]
 
     def _plane(self, i):
+        # [L, P, H, page] reference-semantics view of plane i
         if self.kv_scales is None:
             return None
-        page = self.kv_scales.shape[-1] // 4
-        return self.kv_scales[..., i * page:(i + 1) * page]
+        return self.kv_scales[:, :, i]
 
     @property
     def k_scale(self):
@@ -114,7 +116,7 @@ class KVPool(NamedTuple):
         # lanes
         page_rows = self.k_data.shape[3]
         if self.kv_scales is not None:
-            scale_rows = self.kv_scales.shape[3] // 4
+            scale_rows = self.kv_scales.shape[-1]
             return 4 if page_rows * 2 == scale_rows else 8
         # per-tensor pools carry no per-token planes, so kv4 and kv8 are
         # indistinguishable from the data shapes alone — derive it with
@@ -172,7 +174,7 @@ def make_kv_pool(
     v_data = jnp.zeros(data_shape, data_dtype)
     fine_grained = kv_bits < 16 and kv_zeros
     scale = (
-        jnp.zeros((L, P, H, 4 * page_size), jnp.float32)
+        jnp.zeros((L, P, 4, H, page_size), jnp.float32)
         if fine_grained else None
     )
     stats = (
@@ -411,66 +413,59 @@ def append_kv(
     )
     updates = {"k_data": k_data, "v_data": v_data}
     if k_scale is not None:
-        L, p, h_, page4 = pool.kv_scales.shape
-        page = page4 // 4
+        L, p, _, h_, page = pool.kv_scales.shape
         t = k_scale.shape[0]
-        # folded plane values (see KVPool docstring)
+        # folded plane values (see KVPool docstring), plane-major
         vals = jnp.stack(
             [k_scale, k_scale * (k_zero + 128.0), v_scale, v_zero + 128.0],
-            axis=2,
-        )                                                 # [T, H, 4]
+            axis=1,
+        )                                                 # [T, 4, H]
         if unique_pages:
             # Decode path: every token targets a DISTINCT page, so a
-            # read-modify-write of whole [4*page] rows is race-free. The
-            # 2-D [L*P*H, 4*page] view keeps the lane dim intact (a 1-D
-            # flatten retiles T(8,128) -> T(1024): two full-array copies
-            # per step).
-            rows2d = pool.kv_scales.reshape(L * p * h_, page4)
+            # read-modify-write of whole [page] lane rows is race-free.
+            # The 2-D [L*P*4*H, page] view keeps the lane dim intact.
+            rows2d = pool.kv_scales.reshape(L * p * 4 * h_, page)
             n_rows = rows2d.shape[0]
-            row_idx = (layer * p + safe_pages[:, None]) * h_ \
-                + jnp.arange(h_)[None, :]                        # [T, H]
+            ph = jnp.arange(4 * h_)[None, :]              # plane*H + h
+            row_idx = (layer * p + safe_pages[:, None]) * (4 * h_) + ph
             row_idx = jnp.where(
                 safe_pages[:, None] >= p, n_rows, row_idx
-            )
-            cur = rows2d[jnp.minimum(row_idx, n_rows - 1)]       # [T,H,4pg]
-            lanepos = jnp.arange(4) * page + slots[:, None]      # [T, 4]
-            lane = jnp.arange(page4)[None, None, :]              # [1,1,4pg]
-            new = cur
-            for plane in range(4):
-                hit = lane == lanepos[:, None, plane:plane + 1]  # [T,1,4pg]
-                new = jnp.where(hit, vals[:, :, plane:plane + 1], new)
+            )                                             # [T, 4H]
+            cur = rows2d[jnp.minimum(row_idx, n_rows - 1)]  # [T, 4H, page]
+            lane = jnp.arange(page)[None, None, :]
+            hit = lane == slots[:, None, None]
+            new = jnp.where(hit, vals.reshape(t, 4 * h_, 1), cur)
             rows2d = rows2d.at[row_idx.reshape(-1)].set(
-                new.reshape(t * h_, page4), mode="drop"
+                new.reshape(t * 4 * h_, page), mode="drop"
             )
             updates["kv_scales"] = rows2d.reshape(pool.kv_scales.shape)
         elif page_aligned and t % page == 0:
             # Chunked-prefill path: each group of `page` tokens covers one
-            # page's slots in order, so build each page's full [4*page]
-            # scale row and do a leading-dim row RMW (lane-merged against
-            # the current row so dropped tokens — padding tails, streaming
+            # page's slots in order, so build each page's full [4, H, page]
+            # scale block and do a leading-dim row RMW (lane-merged against
+            # the current rows so dropped tokens — padding tails, streaming
             # dead spans, live last-wrap ring slots — keep their scales).
             n_pg = t // page
-            rows2d = pool.kv_scales.reshape(L * p * h_, page4)
+            rows2d = pool.kv_scales.reshape(L * p, 4 * h_ * page)
             n_rows = rows2d.shape[0]
             gpages = jnp.max(page_ids.reshape(n_pg, page), axis=1)
-            row_idx = (layer * p + gpages[:, None]) * h_ \
-                + jnp.arange(h_)[None, :]                    # [n_pg, H]
-            bad = (gpages[:, None] < 0) | (gpages[:, None] >= p)
+            row_idx = layer * p + gpages                     # [n_pg]
+            bad = (gpages < 0) | (gpages >= p)
             row_idx = jnp.where(bad, n_rows, row_idx)
-            cur = rows2d[jnp.minimum(row_idx, n_rows - 1)]   # [n_pg,H,4pg]
+            cur = rows2d[jnp.minimum(row_idx, n_rows - 1)]   # [n_pg, 4Hpg]
             planes = (
                 k_scale, k_scale * (k_zero + 128.0), v_scale, v_zero + 128.0
             )
-            new = jnp.concatenate(
+            new = jnp.stack(
                 [pp.reshape(n_pg, page, h_).transpose(0, 2, 1)
-                 for pp in planes], axis=-1,
-            )                                                # [n_pg,H,4pg]
-            valid = page_ids.reshape(n_pg, 1, page) >= 0
-            valid4 = jnp.concatenate([valid] * 4, axis=-1)
+                 for pp in planes], axis=1,
+            ).reshape(n_pg, 4 * h_ * page)                   # [n_pg, 4Hpg]
+            valid = page_ids.reshape(n_pg, 1, 1, page) >= 0
+            valid4 = jnp.broadcast_to(
+                valid, (n_pg, 4, h_, page)
+            ).reshape(n_pg, 4 * h_ * page)
             merged = jnp.where(valid4, new.astype(cur.dtype), cur)
-            rows2d = rows2d.at[row_idx.reshape(-1)].set(
-                merged.reshape(n_pg * h_, page4), mode="drop"
-            )
+            rows2d = rows2d.at[row_idx].set(merged, mode="drop")
             updates["kv_scales"] = rows2d.reshape(pool.kv_scales.shape)
         else:
             # Prefill path: tokens share pages (element-unique updates);
@@ -482,18 +477,13 @@ def append_kv(
 
 
 def _prefill_scale_scatter(kv_scales, layer, safe_pages, slots, vals, page):
-    """Element scatter of [T, H, 4] quant params at (layer, page, h,
-    plane*page+slot)."""
-    L, p, h_, page4 = kv_scales.shape
-    t = vals.shape[0]
-    # indices [T, H, 4] -> flat element scatter via 2-D row view with a
-    # per-plane loop (4 row-RMW-free element scatters on the lane dim)
+    """Element scatter of [T, 4, H] quant params at (layer, page, plane,
+    h, slot)."""
     out = kv_scales
     for plane in range(4):
-        lanes = plane * page + slots                             # [T]
         out = out.at[
-            layer, safe_pages, :, lanes
-        ].set(vals[:, :, plane], mode="drop")
+            layer, safe_pages, plane, :, slots
+        ].set(vals[:, plane, :], mode="drop")
     return out
 
 

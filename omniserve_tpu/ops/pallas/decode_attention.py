@@ -25,9 +25,12 @@ in order, Bk = page/4. With G = 128/Bk pages per chunk every block is a
 128-lane row group and all lane slices are tile-aligned.
 
 Scale/zero planes are NOT read from HBM by the kernel: they are ~6% of the
-KV bytes, and their in-page layout cannot be sliced at tile alignment in
-Mosaic; the wrapper pre-gathers them with one XLA gather and folds the
-zero-point math into two planes per K/V (see ``_gather_scale_planes``).
+KV bytes and per-page VMEM delivery leaves them sliceable only at sub-tile
+lane granularity. The wrapper pre-gathers them with ONE interleaved
+lax.gather from the pool's plane-major [L*P, 4, H, page] view straight
+into the [B, 4, H, lanes] kernel block layout (no slab copy, no transpose
+pass), with the zero-point math folded into two planes per K/V
+(see ``_gather_scale_planes``).
 """
 
 from __future__ import annotations
@@ -82,7 +85,7 @@ def _sp_kernel(
     pt_ref,         # [2] f32 per-tensor scales (dummy when fine-grained)
     # blocks
     q_ref,          # [1, H, n_rep, D]
-    sc_ref,         # [1, H, 4, 512] folded scale planes for chunk j
+    sc_ref,         # [1, 4, H, lanes] folded scale planes for chunk j
     # full-array HBM refs
     k_hbm,          # [L*P, H, R, D] u8
     v_hbm,
@@ -160,18 +163,21 @@ def _sp_kernel(
             cv.wait()
 
     # ---------------- flash accumulation ----------------
-    @pl.when(j == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    single = n_chunks == 1
+
+    if not single:
+        @pl.when(j == 0)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
     length = lengths_ref[b]
     gb = g * bk                    # tokens per nibble stream per chunk
     lanes = 4 * gb                 # chunk token lanes
 
     # chunk lane map: lane = p*page + t  (page-major token order)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
     p_of = lane // page_size
     tok = lane % page_size
     logic = jnp.full_like(lane, -1)
@@ -229,98 +235,139 @@ def _sp_kernel(
         k_tok = nib_tokens(k_buf)
         v_tok = nib_tokens(v_buf)
 
-        for h in range(n_heads):
-            rs = slice(h * n_rep, (h + 1) * n_rep)
-            hrows = slice(h * lanes, (h + 1) * lanes)
-            q_bf = q_ref[0, h].astype(jnp.bfloat16)
-            # the rank-1 corrections must see EXACTLY the values the MXU
-            # dots see — with the +128 magic bias any f32-vs-bf16 operand
-            # mismatch is amplified ~128x by cancellation
-            q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=1, keepdims=True)
-
-            qk_int = jax.lax.dot_general(
-                q_bf, k_tok[hrows],
+        # Head-BATCHED softmax/scale math: the per-head [n_rep, lanes]
+        # arrays leave 4 of 8 VPU sublanes idle; stacking all kv heads into
+        # [H, n_rep, lanes] packs the tiles (measured 400 -> 255 us/call at
+        # batch 128, scripts/microbench_attn.py). Dots stay per-head (the
+        # MXU contracts each head's D separately).
+        q_bf = q_ref[0].astype(jnp.bfloat16)           # [H, n_rep, D]
+        # the rank-1 corrections must see EXACTLY the values the MXU dots
+        # see — with the +128 magic bias any f32-vs-bf16 operand mismatch
+        # is amplified ~128x by cancellation
+        q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=2, keepdims=True)
+        qk_int = jnp.stack([
+            jax.lax.dot_general(
+                q_bf[h], k_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [n_rep, lanes]
-            if kv_zeros:
-                s0 = sc_ref[0, h, 0][None, :]
-                s1 = sc_ref[0, h, 1][None, :]      # = s*(z+128)
-                if not kv4:        # kv8 tokens carry no +128 magic bias
-                    s1 = s1 - 128.0 * s0
-                qk = (qk_int * s0 - s1 * q_sum) * sm_scale
-            else:
-                qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
-            qk = jnp.where(valid, qk, MASK_VALUE)
+            )
+            for h in range(n_heads)], axis=0)          # [H, n_rep, lanes]
+        if kv_zeros:
+            s0 = sc_ref[0, 0][:, None, :]              # [H, 1, lanes]
+            s1 = sc_ref[0, 1][:, None, :]              # = s*(z+128)
+            if not kv4:            # kv8 tokens carry no +128 magic bias
+                s1 = s1 - 128.0 * s0
+            qk = (qk_int * s0 - s1 * q_sum) * sm_scale
+        else:
+            qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
+        qk = jnp.where(valid, qk, MASK_VALUE)
 
-            m_prev = m_ref[rs, 0][:, None]
-            l_prev = l_ref[rs, 0][:, None]
-            m_curr = jnp.max(qk, axis=1, keepdims=True)
+        m_curr = jnp.max(qk, axis=2, keepdims=True)    # [H, n_rep, 1]
+        if single:
+            m_next = m_curr
+        else:
+            m_prev = m_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
+            l_prev = l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
-            pexp = jnp.exp(qk - m_next)
-            pexp = jnp.where(valid, pexp, 0.0)
-            l_next = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
-            m_ref[rs, :] = jnp.broadcast_to(m_next, (n_rep, 128))
-            l_ref[rs, :] = jnp.broadcast_to(l_next, (n_rep, 128))
+        pexp = jnp.exp(qk - m_next)
+        pexp = jnp.where(valid, pexp, 0.0)
+        l_curr = jnp.sum(pexp, axis=2, keepdims=True)
+        if single:
+            l_next = l_curr
+        else:
+            l_next = alpha * l_prev + l_curr
+            m_ref[...] = jnp.broadcast_to(
+                m_next, (n_heads, n_rep, 128)
+            ).reshape(n_heads * n_rep, 128)
+            l_ref[...] = jnp.broadcast_to(
+                l_next, (n_heads, n_rep, 128)
+            ).reshape(n_heads * n_rep, 128)
 
-            if kv_zeros:
-                p_bf = (pexp * sc_ref[0, h, 2][None, :]).astype(jnp.bfloat16)
-                z3 = sc_ref[0, h, 3][None, :]      # = z+128
-                if not kv4:                        # kv8: plain z
-                    z3 = z3 - 128.0
-                # corr from the SAME bf16-rounded weights the PV dots use
-                corr = jnp.sum(
-                    p_bf.astype(jnp.float32) * z3,
-                    axis=1, keepdims=True,
-                )
-                v_scale = 1.0
-            else:
-                p_bf = pexp.astype(jnp.bfloat16)
-                corr = pt_bias * jnp.sum(
-                    p_bf.astype(jnp.float32), axis=1, keepdims=True
-                )
-                v_scale = pt_ref[1]
-            pv = jax.lax.dot_general(
-                p_bf, v_tok[hrows],
+        if kv_zeros:
+            s2 = sc_ref[0, 2][:, None, :]
+            z3 = sc_ref[0, 3][:, None, :]              # = z+128
+            if not kv4:                                # kv8: plain z
+                z3 = z3 - 128.0
+            p_bf = (pexp * s2).astype(jnp.bfloat16)
+            # corr from the SAME bf16-rounded weights the PV dots use
+            corr = jnp.sum(
+                p_bf.astype(jnp.float32) * z3, axis=2, keepdims=True
+            )
+            v_scale = 1.0
+        else:
+            p_bf = pexp.astype(jnp.bfloat16)
+            corr = pt_bias * jnp.sum(
+                p_bf.astype(jnp.float32), axis=2, keepdims=True
+            )
+            v_scale = pt_ref[1]
+        pv = jnp.stack([
+            jax.lax.dot_general(
+                p_bf[h], v_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc_ref[rs, :] = acc_ref[rs, :] * alpha + (pv - corr) * v_scale
+            for h in range(n_heads)], axis=0)          # [H, n_rep, D]
+        contrib = (pv - corr) * v_scale
+        if single:
+            o_ref[0] = (
+                contrib / jnp.maximum(l_next, 1e-10)
+            ).astype(o_ref.dtype)
+        else:
+            d_ = acc_ref.shape[-1]
+            acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
+            acc_ref[...] = (
+                acc3 * alpha + contrib
+            ).reshape(n_heads * n_rep, d_)
 
-    @pl.when(j == n_chunks - 1)
-    def _finalize():
-        n_rep = o_ref.shape[2]
-        for h in range(n_heads):
-            rs = slice(h * n_rep, (h + 1) * n_rep)
-            l = jnp.maximum(l_ref[rs, 0][:, None], 1e-10)
-            o_ref[0, h] = (acc_ref[rs, :] / l).astype(o_ref.dtype)
+    if single:
+        # short sequences whose first page is empty still need an output
+        @pl.when(jnp.logical_not(any_valid))
+        def _zero():
+            o_ref[0] = jnp.zeros_like(o_ref[0])
+    else:
+        @pl.when(j == n_chunks - 1)
+        def _finalize():
+            n_rep = o_ref.shape[2]
+            d_ = acc_ref.shape[-1]
+            l3 = jnp.maximum(
+                l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1], 1e-10
+            )
+            acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
+            o_ref[0] = (acc3 / l3).astype(o_ref.dtype)
 
 
 def _gather_scale_planes(pool: KVPool, layer, sel_phys, page_size, g,
                          n_chunks):
     """Pre-gather + fold the fine-grained quant params to kernel layout.
 
-    [L, P, H, 4*page] -> [B, H, 4, nc*g*page] f32 with planes
+    [L, P, 4, H, page] -> [B, 4, H, nc*g*page] f32 with planes
     (ks, ks*(kz+128), vs, vz+128) and chunk lanes in page-major token
     order p*page + t (the kernel's lane order).
     """
     if pool.kv_scales is None:
         return None
     b, tp = sel_phys.shape
-    L, P, H, page4 = pool.kv_scales.shape
-    T = page4 // 4
-    # planes are stored PRE-FOLDED in the pool (KVPool docstring), so the
-    # per-step work is ONE gather + ONE row-granular transpose. The
-    # 4T -> (4, T) lane split must happen on the PER-LAYER SLAB, not the
-    # whole pool: splitting the full [L*P, ...] view relayout-copies
-    # hundreds of MB per layer-step.
-    slab = jax.lax.dynamic_slice_in_dim(
-        pool.kv_scales.reshape(L * P, H, page4), layer * P, P
-    ).reshape(P, H, 4, T)
-    sc = slab[sel_phys]                                    # [B,Tp,H,4,T]
-    planes = sc.transpose(0, 2, 3, 1, 4)                   # [B,H,4,Tp,T]
-    return planes.reshape(b, H, 4, n_chunks * g * T)
+    L, P, _, H, T = pool.kv_scales.shape
+    # planes are stored PRE-FOLDED and PLANE-MAJOR ([L, P, 4, H, T], see
+    # KVPool docstring) so this is ONE lax.gather from the pool's natural
+    # [L*P, 4, H, T] view straight into the kernel block layout
+    # [B, 4, H, Tp*T] — no per-layer slab materialization (the old slab
+    # copy scaled with POOL size, not batch) and no transpose pass over
+    # the gathered ~0.7 GB/step.
+    folded = (layer * P + sel_phys).astype(jnp.int32)
+    planes = jax.lax.gather(
+        pool.kv_scales.reshape(L * P, 4, H, T),
+        folded.reshape(b, tp, 1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 4),        # slice dims 4, H, T land here
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, 4, H, T),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )                                                      # [B,4,H,Tp,T]
+    return planes.reshape(b, 4, H, n_chunks * g * T)
 
 
 def paged_mqa_attention_single_pass(
@@ -378,7 +425,7 @@ def paged_mqa_attention_single_pass(
         "would silently scale by zeros"
     )
     if not fine:
-        sc = jnp.zeros((1, hkv, 4, lanes), jnp.float32)
+        sc = jnp.zeros((1, 4, hkv, lanes), jnp.float32)
 
     if pt_scales is None:
         pt_arr = jnp.zeros((2,), jnp.float32)
@@ -412,7 +459,7 @@ def paged_mqa_attention_single_pass(
             pl.BlockSpec((1, hkv, n_rep, d),
                          lambda b_, j_, *pref: (b_, 0, 0, 0)),
             pl.BlockSpec(
-                (1, hkv, 4, lanes),
+                (1, 4, hkv, lanes),
                 (lambda b_, j_, *pref: (b_, 0, 0, j_)) if fine
                 else (lambda b_, j_, *pref: (0, 0, 0, 0)),
             ),
@@ -442,6 +489,7 @@ def paged_mqa_attention_single_pass(
       lengths.astype(jnp.int32), win_start, pt_arr, q, sc, k_flat, v_flat)
 
 
+
 # ---------------------------------------------------------------------------
 # Per-head page lists (dynamic-sparse decode)
 # ---------------------------------------------------------------------------
@@ -450,23 +498,21 @@ def paged_mqa_attention_single_pass(
 def _sp_kernel_ph(
     # scalar prefetch
     sel_phys_ref,   # [B, H, Tp] i32 layer-folded physical page index
-    sel_sc_ref,     # [B, H, Tp] i32 slab-local page index (scale DMAs)
     sel_logic_ref,  # [B, H, Tp] i32 logical page (-1 = pad)
     lengths_ref,    # [B] i32
     pt_ref,         # [2] f32
     # blocks
     q_ref,          # [1, H, n_rep, D]
+    sc_ref,         # [1, 4, H, lanes] pre-gathered folded planes, chunk j
     # full-array HBM refs
     k_hbm,          # [L*P, H, R, D] u8
     v_hbm,
-    sc_hbm,         # [L*P, H, 4, T] f32 pre-folded planes (dummy if not fine)
     # out
     o_ref,
     # scratch
     k_buf,          # [2, H, G*R, D] u8
     v_buf,
-    sc_buf,         # [2, H, 4, G*T] f32
-    sem,            # [2, H, 3] (shared across the head's page copies)
+    sem,            # [2, H, 2] (shared across the head's page copies)
     m_ref, l_ref, acc_ref,
     *,
     sm_scale: float,
@@ -482,13 +528,15 @@ def _sp_kernel_ph(
     nb = pl.num_programs(0)
     kv4 = kv_bits == 4
     rows = page_size // 2 if kv4 else page_size
+    bk = page_size // 4
     pt_bias = 136.0 if kv4 else 128.0
     step = b * n_chunks + j
     slot = jax.lax.rem(step, 2)
+    single = n_chunks == 1
 
     def copies(bb, cc, sl, h, i):
         idx = sel_phys_ref[bb, h, cc * g + i]
-        out = [
+        return (
             pltpu.make_async_copy(
                 k_hbm.at[idx, h],
                 k_buf.at[sl, h, pl.ds(i * rows, rows), :],
@@ -499,14 +547,7 @@ def _sp_kernel_ph(
                 v_buf.at[sl, h, pl.ds(i * rows, rows), :],
                 sem.at[sl, h, 1],
             ),
-        ]
-        if kv_zeros:
-            out.append(pltpu.make_async_copy(
-                sc_hbm.at[sel_sc_ref[bb, h, cc * g + i], h],
-                sc_buf.at[sl, h, :, pl.ds(i * page_size, page_size)],
-                sem.at[sl, h, 2],
-            ))
-        return out
+        )
 
     def issue(bb, cc, sl):
         bbc = jnp.minimum(bb, nb - 1)
@@ -533,16 +574,17 @@ def _sp_kernel_ph(
                 for c in copies(b, j, slot, h, i):
                     c.wait()
 
-    @pl.when(j == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    if not single:
+        @pl.when(j == 0)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
     length = lengths_ref[b]
-    gb = g * (page_size // 4)
+    gb = g * bk
     lanes = 4 * gb
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
     p_of = lane // page_size
     tok = lane % page_size
 
@@ -565,7 +607,7 @@ def _sp_kernel_ph(
                 w = w32 if sh == 0 else (w32 >> sh)
                 streams.append(pltpu.bitcast(
                     (w & 0x000F000F) | _MAGIC, jnp.bfloat16
-                ).reshape(n_heads, g, page_size // 4, d_))
+                ).reshape(n_heads, g, bk, d_))
             return jnp.concatenate(streams, axis=2).reshape(
                 n_heads * lanes, d_
             )
@@ -573,82 +615,142 @@ def _sp_kernel_ph(
         k_tok = nib_tokens(k_buf)
         v_tok = nib_tokens(v_buf)
 
+        # per-head page lists -> per-head validity rows [H, 1, lanes]
+        rows_logic = []
         for h in range(n_heads):
-            rs = slice(h * n_rep, (h + 1) * n_rep)
-            hrows = slice(h * lanes, (h + 1) * lanes)
-            logic = jnp.full_like(lane, -1)
+            row = jnp.full_like(lane, -1)
             for p in range(g):
-                logic = jnp.where(
-                    p_of == p, sel_logic_ref[b, h, j * g + p], logic
+                row = jnp.where(
+                    p_of == p, sel_logic_ref[b, h, j * g + p], row
                 )
-            valid = (logic >= 0) & (logic * page_size + tok < length)
+            rows_logic.append(row)
+        logic = jnp.concatenate(rows_logic, axis=0)    # [H, 1, lanes]
+        valid = (logic >= 0) & (logic * page_size + tok < length)
 
-            q_bf = q_ref[0, h].astype(jnp.bfloat16)
-            q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=1, keepdims=True)
-            qk_int = jax.lax.dot_general(
-                q_bf, k_tok[hrows],
+        # head-BATCHED softmax/scale math (see _sp_kernel)
+        q_bf = q_ref[0].astype(jnp.bfloat16)           # [H, n_rep, D]
+        q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=2, keepdims=True)
+        qk_int = jnp.stack([
+            jax.lax.dot_general(
+                q_bf[h], k_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if kv_zeros:
-                s0 = sc_buf[slot, h, 0][None, :]
-                s1 = sc_buf[slot, h, 1][None, :]
-                if not kv4:        # kv8 tokens carry no +128 magic bias
-                    s1 = s1 - 128.0 * s0
-                qk = (qk_int * s0 - s1 * q_sum) * sm_scale
-            else:
-                qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
-            qk = jnp.where(valid, qk, MASK_VALUE)
+            for h in range(n_heads)], axis=0)          # [H, n_rep, lanes]
+        if kv_zeros:
+            s0 = sc_ref[0, 0][:, None, :]              # [H, 1, lanes]
+            s1 = sc_ref[0, 1][:, None, :]
+            if not kv4:        # kv8 tokens carry no +128 magic bias
+                s1 = s1 - 128.0 * s0
+            qk = (qk_int * s0 - s1 * q_sum) * sm_scale
+        else:
+            qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
+        qk = jnp.where(valid, qk, MASK_VALUE)
 
-            m_prev = m_ref[rs, 0][:, None]
-            l_prev = l_ref[rs, 0][:, None]
-            m_curr = jnp.max(qk, axis=1, keepdims=True)
+        m_curr = jnp.max(qk, axis=2, keepdims=True)
+        if single:
+            m_next = m_curr
+        else:
+            m_prev = m_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
+            l_prev = l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
-            pexp = jnp.exp(qk - m_next)
-            pexp = jnp.where(valid, pexp, 0.0)
-            l_next = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
-            m_ref[rs, :] = jnp.broadcast_to(m_next, (n_rep, 128))
-            l_ref[rs, :] = jnp.broadcast_to(l_next, (n_rep, 128))
+        pexp = jnp.exp(qk - m_next)
+        pexp = jnp.where(valid, pexp, 0.0)
+        l_curr = jnp.sum(pexp, axis=2, keepdims=True)
+        if single:
+            l_next = l_curr
+        else:
+            l_next = alpha * l_prev + l_curr
+            m_ref[...] = jnp.broadcast_to(
+                m_next, (n_heads, n_rep, 128)
+            ).reshape(n_heads * n_rep, 128)
+            l_ref[...] = jnp.broadcast_to(
+                l_next, (n_heads, n_rep, 128)
+            ).reshape(n_heads * n_rep, 128)
 
-            if kv_zeros:
-                # scratch planes are garbage at invalid lanes (never
-                # DMA'd): mask BEFORE multiplying (0 * NaN = NaN)
-                p_bf = jnp.where(
-                    valid, pexp * sc_buf[slot, h, 2][None, :], 0.0
-                ).astype(jnp.bfloat16)
-                z3 = sc_buf[slot, h, 3][None, :]   # = z+128
-                if not kv4:                        # kv8: plain z
-                    z3 = z3 - 128.0
-                corr = jnp.sum(
-                    jnp.where(
-                        valid,
-                        p_bf.astype(jnp.float32) * z3,
-                        0.0,
-                    ),
-                    axis=1, keepdims=True,
-                )
-                v_scale = 1.0
-            else:
-                p_bf = pexp.astype(jnp.bfloat16)
-                corr = pt_bias * jnp.sum(
-                    p_bf.astype(jnp.float32), axis=1, keepdims=True
-                )
-                v_scale = pt_ref[1]
-            pv = jax.lax.dot_general(
-                p_bf, v_tok[hrows],
+        if kv_zeros:
+            s2 = sc_ref[0, 2][:, None, :]
+            # pre-gathered planes are garbage at invalid lanes (pad pages
+            # point at page 0): mask BEFORE multiplying (0 * NaN = NaN)
+            z3 = sc_ref[0, 3][:, None, :]
+            if not kv4:                                # kv8: plain z
+                z3 = z3 - 128.0
+            p_bf = jnp.where(valid, pexp * s2, 0.0).astype(jnp.bfloat16)
+            corr = jnp.sum(
+                jnp.where(valid, p_bf.astype(jnp.float32) * z3, 0.0),
+                axis=2, keepdims=True,
+            )
+            v_scale = 1.0
+        else:
+            p_bf = pexp.astype(jnp.bfloat16)
+            corr = pt_bias * jnp.sum(
+                p_bf.astype(jnp.float32), axis=2, keepdims=True
+            )
+            v_scale = pt_ref[1]
+        pv = jnp.stack([
+            jax.lax.dot_general(
+                p_bf[h], v_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc_ref[rs, :] = acc_ref[rs, :] * alpha + (pv - corr) * v_scale
+            for h in range(n_heads)], axis=0)          # [H, n_rep, D]
+        contrib = (pv - corr) * v_scale
+        if single:
+            o_ref[0] = (
+                contrib / jnp.maximum(l_next, 1e-10)
+            ).astype(o_ref.dtype)
+        else:
+            d_ = acc_ref.shape[-1]
+            acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
+            acc_ref[...] = (
+                acc3 * alpha + contrib
+            ).reshape(n_heads * n_rep, d_)
 
-    @pl.when(j == n_chunks - 1)
-    def _finalize():
-        n_rep = o_ref.shape[2]
-        for h in range(n_heads):
-            rs = slice(h * n_rep, (h + 1) * n_rep)
-            l = jnp.maximum(l_ref[rs, 0][:, None], 1e-10)
-            o_ref[0, h] = (acc_ref[rs, :] / l).astype(o_ref.dtype)
+    if single:
+        @pl.when(length <= 0)
+        def _zero():
+            o_ref[0] = jnp.zeros_like(o_ref[0])
+    else:
+        @pl.when(j == n_chunks - 1)
+        def _finalize():
+            n_rep = o_ref.shape[2]
+            d_ = acc_ref.shape[-1]
+            l3 = jnp.maximum(
+                l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1], 1e-10
+            )
+            acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
+            o_ref[0] = (acc3 / l3).astype(o_ref.dtype)
+
+
+def _gather_scale_planes_ph(pool: KVPool, layer, sel_phys):
+    """Per-head scale-plane gather -> [B, 4, H, Tp*T] kernel layout.
+
+    One lax.gather over the pool's natural [L*P, 4, H, T] view with
+    per-(page, head) index tuples; offset_dims interleave so no transpose
+    pass runs over the gathered planes.
+    """
+    if pool.kv_scales is None:
+        return None
+    b, H, tp = sel_phys.shape
+    L, P, _, hkv, T = pool.kv_scales.shape
+    folded = (layer * P + sel_phys).astype(jnp.int32)      # [B, H, Tp]
+    h_ids = jnp.broadcast_to(
+        jnp.arange(H, dtype=jnp.int32)[None, :, None], (b, H, tp)
+    )
+    idx = jnp.stack([folded, h_ids], axis=-1)              # [B, H, Tp, 2]
+    planes = jax.lax.gather(
+        pool.kv_scales.reshape(L * P, 4, hkv, T),
+        idx,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 4),           # slice dims 4, T land here
+            collapsed_slice_dims=(0, 2),
+            start_index_map=(0, 2),
+        ),
+        slice_sizes=(1, 4, 1, T),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )                                                      # [B,4,H,Tp,T]
+    return planes.reshape(b, 4, H, tp * T)
 
 
 def paged_mqa_attention_single_pass_ph(
@@ -665,9 +767,11 @@ def paged_mqa_attention_single_pass_ph(
     pt_scales=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """kv4/kv8 dynamic-sparse decode: PER-HEAD page lists, pages and their
-    quant planes DMA'd straight from the HBM pools (XLA gathers of pool
-    slices lower to while-loops costing ~0.3 ms/index on TPU)."""
+    """kv4/kv8 dynamic-sparse decode: PER-HEAD page lists, pages DMA'd
+    straight from the HBM pools; quant planes arrive through one
+    interleaved XLA gather (selected pages are few in the sparse regime,
+    so the gather is small, while XLA gathers of pool DATA rows lower to
+    while-loops costing ~0.3 ms/index on TPU)."""
     b, hkv, n_rep, d = q.shape
     tp = sel_logic.shape[-1]
     quantum = max(1, 128 // page_size)
@@ -686,18 +790,11 @@ def paged_mqa_attention_single_pass_ph(
     v_flat = pool.v_data.reshape(L * P, hkv, rows, d)
     phys_folded = (layer * P + sel_phys).astype(jnp.int32)
     fine = pool.kv_scales is not None and kv_zeros
+    lanes = 4 * g * (page_size // 4)
     if fine:
-        # slice THIS layer's slab before the 4T -> (4, T) lane split (on
-        # the whole pool the split relayout-copies hundreds of MB/step);
-        # the kernel's scale DMAs index the per-layer slab directly
-        page4 = pool.kv_scales.shape[-1]
-        sc_flat = jax.lax.dynamic_slice_in_dim(
-            pool.kv_scales.reshape(L * P, hkv, page4), layer * P, P
-        ).reshape(P, hkv, 4, page_size)
-        phys_sc = sel_phys.astype(jnp.int32)   # unfolded (slab-local)
+        sc = _gather_scale_planes_ph(pool, layer, sel_phys)
     else:
-        sc_flat = jnp.zeros((1, hkv, 4, page_size), jnp.float32)
-        phys_sc = jnp.zeros_like(sel_phys, dtype=jnp.int32)
+        sc = jnp.zeros((1, 4, hkv, n_chunks * lanes), jnp.float32)
 
     if pt_scales is None:
         pt_arr = jnp.zeros((2,), jnp.float32)
@@ -718,12 +815,16 @@ def paged_mqa_attention_single_pass_ph(
         kv_bits=4 if rows * 2 == page_size else 8,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, hkv, n_rep, d),
                          lambda b_, j_, *pref: (b_, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 4, hkv, lanes),
+                (lambda b_, j_, *pref: (b_, 0, 0, j_)) if fine
+                else (lambda b_, j_, *pref: (0, 0, 0, 0)),
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -732,8 +833,7 @@ def paged_mqa_attention_single_pass_ph(
         scratch_shapes=[
             pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),
             pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),
-            pltpu.VMEM((2, hkv, 4, g * page_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, hkv, 3)),
+            pltpu.SemaphoreType.DMA((2, hkv, 2)),
             pltpu.VMEM((hkv * n_rep, 128), jnp.float32),
             pltpu.VMEM((hkv * n_rep, 128), jnp.float32),
             pltpu.VMEM((hkv * n_rep, d), jnp.float32),
@@ -748,5 +848,5 @@ def paged_mqa_attention_single_pass_ph(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(phys_folded, phys_sc, sel_logic.astype(jnp.int32),
-      lengths.astype(jnp.int32), pt_arr, q, k_flat, v_flat, sc_flat)
+    )(phys_folded, sel_logic.astype(jnp.int32),
+      lengths.astype(jnp.int32), pt_arr, q, sc, k_flat, v_flat)

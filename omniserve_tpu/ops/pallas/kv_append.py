@@ -19,8 +19,8 @@ Layout contracts (ops/paged_kv.py):
 - kv4 data [L, P, H, page/2, D] u8 in the interleaved layout
   (ops/paged_kv.kv4_slot_to_row_nibble); kv8 [L, P, H, page, D] u8;
   kv16 bf16.
-- kv_scales [L, P, H, 4*page] f32, planes (k_scale, k_zero, v_scale,
-  v_zero) at lane plane*page + slot.
+- kv_scales [L, P, 4, H, page] f32, plane-major folded planes (see
+  ops/paged_kv.KVPool), token at lane ``slot`` of plane row (plane, h).
 - k_stats [L, P, H, 2*n_sub, D] f32, row 2i = min of sub-chunk i, 2i+1 max.
 """
 
@@ -66,7 +66,7 @@ def _append_kernel(
     v_ref,
     kd_ref,        # aliased [1, 1, H, rows, D] page block
     vd_ref,
-    sc_ref,        # aliased [1, 1, H, 4*page] scale row (dummy if unused)
+    sc_ref,        # aliased [1, 1, 4, H, page] scale block (dummy if unused)
     st_ref,        # aliased [1, 1, H, 2S, D] stats row (dummy if unused)
     # outputs (aliased)
     kd_out, vd_out, sc_out, st_out,
@@ -129,16 +129,13 @@ def _append_kernel(
     store_data(vd_out, vd_ref, qv)
 
     if fine:
-        row = sc_ref[0, 0]                                    # [H, 4*page]
-        lane = jax.lax.broadcasted_iota(
-            jnp.int32, row.shape, 1
-        )
-        # folded plane values (ops/paged_kv.KVPool docstring)
-        planes = ((0, ks), (1, ks * (kz + 128.0)), (2, vs),
-                  (3, vz + 128.0))
-        for plane, val in planes:
-            row = jnp.where(lane == plane * page_size + slot, val, row)
-        sc_out[0, 0] = row
+        blk = sc_ref[0, 0]                                  # [4, H, page]
+        lane = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2)
+        # folded plane values (ops/paged_kv.KVPool docstring), plane-major
+        vals = jnp.stack(
+            [ks, ks * (kz + 128.0), vs, vz + 128.0], axis=0
+        )                                                   # [4, H, 1]
+        sc_out[0, 0] = jnp.where(lane == slot, vals, blk)
     else:
         sc_out[0, 0] = sc_ref[0, 0]
 
@@ -192,7 +189,7 @@ def append_kv_decode(
         pt = jnp.ones((2,), jnp.float32)
 
     sc_in = pool.kv_scales if fine else jnp.zeros(
-        (1, 1, h_, 4 * page_size), jnp.float32
+        (1, 1, 4, h_, page_size), jnp.float32
     )
     st_in = pool.k_stats if with_stats else jnp.zeros(
         (1, 1, h_, 2 * sub_chunks, d), jnp.float32
@@ -217,17 +214,11 @@ def append_kv_decode(
     def pmap(t_, pg, sl, ly, pt_):
         return (ly[0], pg[t_], 0, 0, 0)
 
-    def pmap4(t_, pg, sl, ly, pt_):
-        return (ly[0], pg[t_], 0, 0)
-
-    def zmap(t_, pg, sl, ly, pt_):
-        return (0, 0, 0, 0)
-
     def zmap5(t_, pg, sl, ly, pt_):
         return (0, 0, 0, 0, 0)
 
     data_block = (1, 1, h_, win, d)
-    sc_block = (1, 1, h_, 4 * page_size)
+    sc_block = (1, 1, 4, h_, page_size)
     st_block = (1, 1, h_, 2 * sub_chunks, d)
 
     in_specs = [
@@ -235,13 +226,13 @@ def append_kv_decode(
         pl.BlockSpec((1, h_, d), lambda t_, pg, sl, ly, pt_: (t_, 0, 0)),
         pl.BlockSpec(data_block, pmap_data),
         pl.BlockSpec(data_block, pmap_data),
-        pl.BlockSpec(sc_block, pmap4 if fine else zmap),
+        pl.BlockSpec(sc_block, pmap if fine else zmap5),
         pl.BlockSpec(st_block, pmap if with_stats else zmap5),
     ]
     out_specs = (
         pl.BlockSpec(data_block, pmap_data),
         pl.BlockSpec(data_block, pmap_data),
-        pl.BlockSpec(sc_block, pmap4 if fine else zmap),
+        pl.BlockSpec(sc_block, pmap if fine else zmap5),
         pl.BlockSpec(st_block, pmap if with_stats else zmap5),
     )
     out_shape = (

@@ -507,6 +507,17 @@ def _gather_pool(pool: KVPool, layer, sel_phys):
     gathered slice here is a contiguous 32 KB+ page."""
     per_head = sel_phys.ndim == 3
     n_pages = pool.k_data.shape[1]
+    # pool scales are plane-major [L, P, 4, H, page] (KVPool docstring);
+    # this FALLBACK path (supports()==False configs only) restores the
+    # head-major [L, P, H, 4*page] view the two-stage kernels consume.
+    # The transpose materializes pool-sized scales — acceptable off the
+    # hot path, the single-pass kernels gather plane-major directly.
+    sc_head_major = pool.kv_scales
+    if sc_head_major is not None:
+        L_, P_, _, H_, pg_ = sc_head_major.shape
+        sc_head_major = sc_head_major.transpose(0, 1, 3, 2, 4).reshape(
+            L_, P_, H_, 4 * pg_
+        )
     if per_head:
         # dynamic-sparse: pages differ per head. Fold (layer, page, head)
         # into ONE flat index over a [L*P*H, ...] view — multi-index-array
@@ -521,7 +532,7 @@ def _gather_pool(pool: KVPool, layer, sel_phys):
                 return None
             return arr.reshape((-1,) + arr.shape[3:])[flat_idx]
 
-        return take(pool.k_data), take(pool.v_data), take(pool.kv_scales)
+        return take(pool.k_data), take(pool.v_data), take(sc_head_major)
 
     flat_idx = layer * n_pages + sel_phys       # [B, T]
 
@@ -530,7 +541,7 @@ def _gather_pool(pool: KVPool, layer, sel_phys):
             return None
         return arr.reshape((-1,) + arr.shape[2:])[flat_idx]
 
-    return take(pool.k_data), take(pool.v_data), take(pool.kv_scales)
+    return take(pool.k_data), take(pool.v_data), take(sc_head_major)
 
 
 def paged_decode_attention(

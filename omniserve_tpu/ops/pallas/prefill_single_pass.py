@@ -65,13 +65,13 @@ def _psp_kernel(
     # HBM refs
     k_hbm,          # [L*P, H, R, D] u8
     v_hbm,
-    sc_hbm,         # [L*P, H, 4, page] f32 pre-folded planes (or dummy)
+    sc_hbm,         # [L*P, 4, H, page] f32 pre-folded planes (or dummy)
     # out
     o_ref,          # [1, tq, Hkv, n_rep, D]
     # scratch
     k_buf,          # [2, H, G*R, D] u8
     v_buf,
-    sc_buf,         # [2, H, 4, G*page] f32
+    sc_buf,         # [2, 4, H, G*page] f32
     sem,            # DMA sems [2, G, 3]
     m_ref, l_ref, acc_ref,  # [Hkv*tq*n_rep, 128] x2 / [..., D]
     *,
@@ -229,8 +229,8 @@ def _psp_kernel(
                 preferred_element_type=jnp.float32,
             )                                             # [rows, lanes]
             if kv_zeros:
-                s0 = sc_buf[slot, h, 0][None, :]
-                s1 = sc_buf[slot, h, 1][None, :]          # = s*(z+128)
+                s0 = sc_buf[slot, 0, h][None, :]
+                s1 = sc_buf[slot, 1, h][None, :]          # = s*(z+128)
                 if not kv4:           # kv8 tokens carry no +128 magic bias
                     s1 = s1 - 128.0 * s0
                 qk = (qk_int * s0 - s1 * q_sum) * sm_scale
@@ -252,9 +252,9 @@ def _psp_kernel(
                 # scale planes of never-DMA'd lanes are garbage: mask
                 # BEFORE multiplying (0 * NaN = NaN)
                 p_bf = jnp.where(
-                    mask, pexp * sc_buf[slot, h, 2][None, :], 0.0
+                    mask, pexp * sc_buf[slot, 2, h][None, :], 0.0
                 ).astype(jnp.bfloat16)
-                z3 = sc_buf[slot, h, 3][None, :]          # = z+128
+                z3 = sc_buf[slot, 3, h][None, :]          # = z+128
                 if not kv4:                               # kv8: plain z
                     z3 = z3 - 128.0
                 corr = jnp.sum(
@@ -346,17 +346,13 @@ def paged_prefill_single_pass(
 
     fine = pool.kv_scales is not None and kv_zeros
     if fine:
-        # slice THIS layer's slab before the 4T -> (4, T) lane split (on
-        # the whole pool the split relayout-copies hundreds of MB per
-        # layer-step); the kernel's scale DMAs subtract sc_off to index
-        # the slab (k/v stay layer-folded)
-        page4 = pool.kv_scales.shape[-1]
-        sc_flat = jax.lax.dynamic_slice_in_dim(
-            pool.kv_scales.reshape(L * P, hkv, page4), layer * P, P
-        ).reshape(P, hkv, 4, page_size)
-        sc_off = jnp.asarray([layer * P], jnp.int32)
+        # plane-major pool scales ([L, P, 4, H, page], KVPool docstring)
+        # reshape to the layer-folded view for FREE (leading dims only) —
+        # the kernel DMAs pages with the same folded index as k/v
+        sc_flat = pool.kv_scales.reshape(L * P, 4, hkv, page_size)
+        sc_off = jnp.zeros((1,), jnp.int32)
     else:
-        sc_flat = jnp.zeros((1, hkv, 4, page_size), jnp.float32)
+        sc_flat = jnp.zeros((1, 4, hkv, page_size), jnp.float32)
         sc_off = jnp.zeros((1,), jnp.int32)
 
     if pool.k_scale_per_tensor is not None:
@@ -435,7 +431,7 @@ def paged_prefill_single_pass(
         scratch_shapes=[
             pltpu.VMEM((2, hkv, g * rows_pg, d), jnp.uint8),
             pltpu.VMEM((2, hkv, g * rows_pg, d), jnp.uint8),
-            pltpu.VMEM((2, hkv, 4, g * page_size), jnp.float32),
+            pltpu.VMEM((2, 4, hkv, g * page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, g, 3)),
             pltpu.VMEM((hkv * tq * n_rep, 128), jnp.float32),
             pltpu.VMEM((hkv * tq * n_rep, 128), jnp.float32),

@@ -48,9 +48,24 @@ def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
 
 
 def _unpack_u8(raw: jnp.ndarray):
-    """uint8 [r, n] -> (lo, hi) int8 in [0, 15]. int32 hop for Mosaic."""
-    raw_i = raw.astype(jnp.int32)
-    return (raw_i & 0xF).astype(jnp.int8), (raw_i >> 4).astype(jnp.int8)
+    """uint8 [r, n] -> (lo, hi) int8 in [0, 15], packed-domain.
+
+    Works on i32 words (4 sublane bytes each) and bitcasts straight back
+    to i8 — byte j of word k is row 4k+j both ways, so row order is
+    preserved. ~6x fewer VPU ops than the astype(int32) round-trip, which
+    expands every byte to a word and back (the r02 profile showed the
+    per-channel GEMM at 1.6x its weight-DMA floor purely from unpack).
+    """
+    r, n = raw.shape
+    if r % 4:
+        raw_i = raw.astype(jnp.int32)
+        return (raw_i & 0xF).astype(jnp.int8), (raw_i >> 4).astype(jnp.int8)
+    w32 = pltpu.bitcast(raw, jnp.int32)               # [r/4, n]
+    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)    # [r, n] == raw & 0xF
+    hi = pltpu.bitcast(
+        (w32 >> 4) & 0x0F0F0F0F, jnp.int8             # == raw >> 4
+    )
+    return lo, hi
 
 
 def _pick_bm(m: int) -> int:

@@ -128,7 +128,8 @@ def pool_pspecs(pool: Optional[KVPool]) -> Optional[KVPool]:
         return None
     d, m = DATA_AXIS, MODEL_AXIS
     data_spec = P(None, d, m, None, None)
-    scale_spec = P(None, d, m, None)
+    # kv_scales is plane-major [L, P, 4, H, page]: heads on dim 3
+    scale_spec = P(None, d, None, m, None)
     return KVPool(
         k_data=data_spec,
         v_data=data_spec,

@@ -14,14 +14,19 @@ def get_tokenizer(
     tokenizer_name: str,
     trust_remote_code: bool = True,
     revision: Optional[str] = None,
+    tokenizer_mode: str = "auto",
+    download_dir: Optional[str] = None,
 ):
+    """``tokenizer_mode``: "auto" prefers the fast tokenizer, "slow"
+    forces the Python one (reference arg_utils.py:144-152)."""
     from transformers import AutoTokenizer
 
     return AutoTokenizer.from_pretrained(
         tokenizer_name,
         trust_remote_code=trust_remote_code,
         revision=revision,
-        use_fast=True,
+        cache_dir=download_dir,
+        use_fast=tokenizer_mode != "slow",
     )
 
 
