@@ -126,6 +126,14 @@ class LLMEngine:
             os.environ.get("DECODING_SIMULATION_LENGTH", "0")
         )
 
+        # periodic stats (reference accepts log_stats but never logs,
+        # llm_engine.py:49,94 — here it is implemented: every
+        # _LOG_STATS_INTERVAL s of step() activity, one line with prompt /
+        # generation throughput, queue depths and KV-pool occupancy)
+        self._last_stats_time = time.time()
+        self._stats_prompt_tokens = 0
+        self._stats_generation_tokens = 0
+
     # ------------------------------------------------------------------
     @classmethod
     def from_engine_args(cls, engine_args):
@@ -486,6 +494,37 @@ class LLMEngine:
         return copy, s_copy
 
     # ------------------------------------------------------------------
+    _LOG_STATS_INTERVAL = 5.0   # seconds (reference's unused constant, made real)
+
+    def _maybe_log_stats(self) -> None:
+        now = time.time()
+        elapsed = now - self._last_stats_time
+        if elapsed < self._LOG_STATS_INTERVAL:
+            return
+        bm = self.scheduler.block_manager
+        total_r = self.cache_config.num_retrieval_device_blocks
+        used_r = total_r - bm.get_num_free_device_blocks()
+        kv_pct = 100.0 * used_r / max(total_r, 1)
+        stream = ""
+        if bm.streaming is not None:
+            total_s = self.cache_config.num_streaming_device_blocks
+            used_s = total_s - bm.streaming.get_num_free_device_blocks()
+            stream = f", streaming KV {100.0 * used_s / max(total_s, 1):.1f}%"
+        logger.info(
+            "throughput: %.1f prompt tok/s, %.1f generation tok/s | "
+            "running %d, swapped %d, waiting %d | KV pool %.1f%%%s",
+            self._stats_prompt_tokens / elapsed,
+            self._stats_generation_tokens / elapsed,
+            len(self.scheduler.running),
+            len(self.scheduler.swapped),
+            len(self.scheduler.waiting),
+            kv_pct,
+            stream,
+        )
+        self._last_stats_time = now
+        self._stats_prompt_tokens = 0
+        self._stats_generation_tokens = 0
+
     def _process_model_outputs(
         self,
         samples: SamplerOutput,
@@ -493,12 +532,16 @@ class LLMEngine:
         check_stop: bool = True,
     ) -> List[RequestOutput]:
         groups = sched_out.scheduled_seq_groups
+        if self.log_stats and sched_out.prompt_run:
+            self._stats_prompt_tokens += sched_out.num_batched_tokens
         for group, group_out in zip(groups, samples):
             for sample in group_out.samples:
                 seq = group.find(sample.parent_seq_id)
                 if seq.is_finished():
                     # buffered multi-step output past this seq's finish
                     continue
+                if self.log_stats:
+                    self._stats_generation_tokens += 1
                 token = sample.output_token
                 sp = group.sampling_params
                 if sp.decoding_sim_token_ids:
@@ -533,6 +576,8 @@ class LLMEngine:
                     self.scheduler.free_seq(seq)
                     self.worker.free_seq(seq.seq_id)
         self.scheduler.free_finished_seq_groups()
+        if self.log_stats:
+            self._maybe_log_stats()
         if self.benchmarking_mode:
             # benchmark drivers ignore per-step outputs (reference
             # _process_model_outputs_benchmark, llm_engine.py:467-479);

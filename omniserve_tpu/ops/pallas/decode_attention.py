@@ -24,13 +24,16 @@ chosen so the four nibble streams are exactly token blocks [i*Bk,(i+1)*Bk)
 in order, Bk = page/4. With G = 128/Bk pages per chunk every block is a
 128-lane row group and all lane slices are tile-aligned.
 
-Scale/zero planes are NOT read from HBM by the kernel: they are ~6% of the
-KV bytes and per-page VMEM delivery leaves them sliceable only at sub-tile
-lane granularity. The wrapper pre-gathers them with ONE interleaved
-lax.gather from the pool's plane-major [L*P, 4, H, page] view straight
-into the [B, 4, H, lanes] kernel block layout (no slab copy, no transpose
-pass), with the zero-point math folded into two planes per K/V
-(see ``_gather_scale_planes``).
+Scale/zero planes ride the SAME in-kernel DMA pipeline as the pages: each
+page's [4, H, page] f32 plane block lands at lane window [i*page, (i+1)*
+page) of a per-chunk VMEM buffer, which is exactly the kernel's page-major
+token lane order. (Round 2 pre-gathered the planes with lax.gather, which
+costs three HBM passes — gather read + write + kernel re-read, ~2.2 GB at
+batch 160 — where the in-kernel DMA costs one. The page%128==0 constraint
+in ``supports`` keeps these f32 lane windows tile-aligned.) The zero-point
+math is folded into two planes per K/V at append time (ops/paged_kv.KVPool).
+The per-head dynamic-sparse variant (``_sp_kernel_ph``) still pre-gathers:
+its selected pages are few and per-(page, head) plane rows are sub-tile.
 """
 
 from __future__ import annotations
@@ -85,16 +88,17 @@ def _sp_kernel(
     pt_ref,         # [2] f32 per-tensor scales (dummy when fine-grained)
     # blocks
     q_ref,          # [1, H, n_rep, D]
-    sc_ref,         # [1, 4, H, lanes] folded scale planes for chunk j
     # full-array HBM refs
     k_hbm,          # [L*P, H, R, D] u8
     v_hbm,
+    sc_hbm,         # [L*P, 4, H, page] f32 folded planes (dummy if per-tensor)
     # out
     o_ref,          # [1, H, n_rep, D]
     # scratch
     k_buf,          # [2, H, G*R, D] u8
     v_buf,
-    sem,            # DMA sems [2, G, 2]
+    sc_buf,         # [2, 4, H, G*page] f32
+    sem,            # DMA sems [2, G, 3]
     m_ref, l_ref, acc_ref,
     *,
     sm_scale: float,
@@ -123,7 +127,7 @@ def _sp_kernel(
     # ---------------- DMA pipeline ----------------
     def copies(bb, cc, sl, i):
         idx = sel_phys_ref[bb, cc * g + i]
-        return (
+        cps = [
             pltpu.make_async_copy(
                 k_hbm.at[idx],
                 k_buf.at[sl, :, pl.ds(i * rows, rows), :],
@@ -134,16 +138,22 @@ def _sp_kernel(
                 v_buf.at[sl, :, pl.ds(i * rows, rows), :],
                 sem.at[sl, i, 1],
             ),
-        )
+        ]
+        if kv_zeros:
+            cps.append(pltpu.make_async_copy(
+                sc_hbm.at[idx],
+                sc_buf.at[sl, :, :, pl.ds(i * page_size, page_size)],
+                sem.at[sl, i, 2],
+            ))
+        return cps
 
     def issue(bb, cc, sl):
         bbc = jnp.minimum(bb, nb - 1)
         for i in range(g):
             @pl.when((bb < nb) & (sel_logic_ref[bbc, cc * g + i] >= 0))
             def _():
-                ck, cv = copies(bbc, cc, sl, i)
-                ck.start()
-                cv.start()
+                for c in copies(bbc, cc, sl, i):
+                    c.start()
 
     @pl.when(step == 0)
     def _cold_start():
@@ -158,9 +168,8 @@ def _sp_kernel(
     for i in range(g):
         @pl.when(sel_logic_ref[b, j * g + i] >= 0)
         def _():
-            ck, cv = copies(b, j, slot, i)
-            ck.wait()
-            cv.wait()
+            for c in copies(b, j, slot, i):
+                c.wait()
 
     # ---------------- flash accumulation ----------------
     single = n_chunks == 1
@@ -253,8 +262,10 @@ def _sp_kernel(
             )
             for h in range(n_heads)], axis=0)          # [H, n_rep, lanes]
         if kv_zeros:
-            s0 = sc_ref[0, 0][:, None, :]              # [H, 1, lanes]
-            s1 = sc_ref[0, 1][:, None, :]              # = s*(z+128)
+            # planes at pad lanes (no DMA issued) are VMEM garbage — every
+            # use is masked by ``valid`` downstream
+            s0 = sc_buf[slot, 0][:, None, :]           # [H, 1, lanes]
+            s1 = sc_buf[slot, 1][:, None, :]           # = s*(z+128)
             if not kv4:            # kv8 tokens carry no +128 magic bias
                 s1 = s1 - 128.0 * s0
             qk = (qk_int * s0 - s1 * q_sum) * sm_scale
@@ -285,14 +296,17 @@ def _sp_kernel(
             ).reshape(n_heads * n_rep, 128)
 
         if kv_zeros:
-            s2 = sc_ref[0, 2][:, None, :]
-            z3 = sc_ref[0, 3][:, None, :]              # = z+128
+            s2 = sc_buf[slot, 2][:, None, :]
+            z3 = sc_buf[slot, 3][:, None, :]           # = z+128
             if not kv4:                                # kv8: plain z
                 z3 = z3 - 128.0
-            p_bf = (pexp * s2).astype(jnp.bfloat16)
+            # mask BEFORE multiplying: pad-lane planes are garbage and
+            # 0 * NaN = NaN
+            p_bf = jnp.where(valid, pexp * s2, 0.0).astype(jnp.bfloat16)
             # corr from the SAME bf16-rounded weights the PV dots use
             corr = jnp.sum(
-                p_bf.astype(jnp.float32) * z3, axis=2, keepdims=True
+                jnp.where(valid, p_bf.astype(jnp.float32) * z3, 0.0),
+                axis=2, keepdims=True,
             )
             v_scale = 1.0
         else:
@@ -335,39 +349,6 @@ def _sp_kernel(
             )
             acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
             o_ref[0] = (acc3 / l3).astype(o_ref.dtype)
-
-
-def _gather_scale_planes(pool: KVPool, layer, sel_phys, page_size, g,
-                         n_chunks):
-    """Pre-gather + fold the fine-grained quant params to kernel layout.
-
-    [L, P, 4, H, page] -> [B, 4, H, nc*g*page] f32 with planes
-    (ks, ks*(kz+128), vs, vz+128) and chunk lanes in page-major token
-    order p*page + t (the kernel's lane order).
-    """
-    if pool.kv_scales is None:
-        return None
-    b, tp = sel_phys.shape
-    L, P, _, H, T = pool.kv_scales.shape
-    # planes are stored PRE-FOLDED and PLANE-MAJOR ([L, P, 4, H, T], see
-    # KVPool docstring) so this is ONE lax.gather from the pool's natural
-    # [L*P, 4, H, T] view straight into the kernel block layout
-    # [B, 4, H, Tp*T] — no per-layer slab materialization (the old slab
-    # copy scaled with POOL size, not batch) and no transpose pass over
-    # the gathered ~0.7 GB/step.
-    folded = (layer * P + sel_phys).astype(jnp.int32)
-    planes = jax.lax.gather(
-        pool.kv_scales.reshape(L * P, 4, H, T),
-        folded.reshape(b, tp, 1),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 4),        # slice dims 4, H, T land here
-            collapsed_slice_dims=(0,),
-            start_index_map=(0,),
-        ),
-        slice_sizes=(1, 4, H, T),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )                                                      # [B,4,H,Tp,T]
-    return planes.reshape(b, 4, H, n_chunks * g * T)
 
 
 def paged_mqa_attention_single_pass(
@@ -416,16 +397,16 @@ def paged_mqa_attention_single_pass(
     v_flat = pool.v_data.reshape(L * P, hkv, rows, d)
     phys_folded = (layer * P + sel_phys).astype(jnp.int32)
 
-    lanes = 4 * g * bk
-    sc = _gather_scale_planes(pool, layer, sel_phys, page_size, g, n_chunks)
-    fine = sc is not None
+    fine = pool.kv_scales is not None
     assert fine == kv_zeros, (
         "kv_zeros flag disagrees with the pool's scale planes "
         f"(kv_zeros={kv_zeros}, pool fine-grained={fine}) — the kernel "
         "would silently scale by zeros"
     )
-    if not fine:
-        sc = jnp.zeros((1, 4, hkv, lanes), jnp.float32)
+    if fine:
+        sc_flat = pool.kv_scales.reshape(L * P, 4, hkv, page_size)
+    else:
+        sc_flat = jnp.zeros((1, 4, hkv, page_size), jnp.float32)
 
     if pt_scales is None:
         pt_arr = jnp.zeros((2,), jnp.float32)
@@ -458,11 +439,7 @@ def paged_mqa_attention_single_pass(
         in_specs=[
             pl.BlockSpec((1, hkv, n_rep, d),
                          lambda b_, j_, *pref: (b_, 0, 0, 0)),
-            pl.BlockSpec(
-                (1, 4, hkv, lanes),
-                (lambda b_, j_, *pref: (b_, 0, 0, j_)) if fine
-                else (lambda b_, j_, *pref: (0, 0, 0, 0)),
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -471,7 +448,8 @@ def paged_mqa_attention_single_pass(
         scratch_shapes=[
             pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # k pages
             pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # v pages
-            pltpu.SemaphoreType.DMA((2, g, 2)),
+            pltpu.VMEM((2, 4, hkv, g * page_size), jnp.float32),  # planes
+            pltpu.SemaphoreType.DMA((2, g, 3)),
             pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # m
             pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # l
             pltpu.VMEM((hkv * n_rep, d), jnp.float32),      # acc
@@ -486,7 +464,8 @@ def paged_mqa_attention_single_pass(
         ),
         interpret=interpret,
     )(phys_folded, sel_logic.astype(jnp.int32),
-      lengths.astype(jnp.int32), win_start, pt_arr, q, sc, k_flat, v_flat)
+      lengths.astype(jnp.int32), win_start, pt_arr, q,
+      k_flat, v_flat, sc_flat)
 
 
 

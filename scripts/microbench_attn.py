@@ -750,7 +750,7 @@ def _stream_kernel(sel_ref, len_ref, q_ref, k_hbm, v_hbm, sc_hbm, o_ref,
             acc = acc + jax.lax.dot_general(
                 p_i, v_str[i][h], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        o_ref[0, h] = (acc - corr[:, None]) / jnp.maximum(l, 1e-10)[:, None]
+        o_ref[0, h] = (acc - corr) / jnp.maximum(l, 1e-10)
 
 
 def v_stream(q, kp, vp, sc, sel, lens):
@@ -781,6 +781,178 @@ def v_stream(q, kp, vp, sc, sel, lens):
 
 
 # ---------------------------------------------------------------------------
+# v_fused: ONE page record [P, 2*H*ROWS + SC_ROWS, D] u8 holding K rows,
+# V rows and the folded scale planes (bitcast f32) — ONE DMA per page.
+# Tests whether cutting DMA issue/wait count (27 -> 9 per grid step) and
+# riding a single 144KB contiguous transfer beats the split arrays.
+# ---------------------------------------------------------------------------
+
+SC_ROWS = 4 * 4 * PAGE // 128 // (D // 128)   # 4 planes * H? computed below
+
+
+def _fused_layout():
+    # record rows: K [H*ROWS], V [H*ROWS], planes [4*H*PAGE f32 as u8 rows]
+    sc_rows = 4 * H * PAGE * 4 // D
+    return 2 * H * ROWS + sc_rows, sc_rows
+
+
+def _fused_kernel(sel_ref, len_ref, q_ref, pg_hbm, o_ref, buf, sem):
+    rec_rows, sc_rows = _fused_layout()
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def issue(bb, sl):
+        bbc = jnp.minimum(bb, nb - 1)
+
+        @pl.when(bb < nb)
+        def _():
+            for i in range(G):
+                pltpu.make_async_copy(
+                    pg_hbm.at[sel_ref[bbc, i]],
+                    buf.at[sl, i], sem.at[sl, i],
+                ).start()
+
+    @pl.when(b == 0)
+    def _():
+        issue(b, slot)
+    issue(b + 1, 1 - slot)
+    for i in range(G):
+        pltpu.make_async_copy(
+            pg_hbm.at[sel_ref[b, i]], buf.at[slot, i], sem.at[slot, i],
+        ).wait()
+
+    length = len_ref[b]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+    valid = lane < length
+
+    def nib_tokens(raw):                      # [G, H*ROWS, D] u8
+        w32 = pltpu.bitcast(
+            raw.reshape(G * H * ROWS, D), jnp.int32)
+        streams = []
+        for sh in _NIBBLE_SHIFTS:
+            w = w32 if sh == 0 else (w32 >> sh)
+            streams.append(pltpu.bitcast(
+                (w & 0x000F000F) | _MAGIC, jnp.bfloat16
+            ).reshape(G, H, BK, D))
+        # [G, H, PAGE, D] -> rows (h, p, t)
+        return jnp.concatenate(streams, axis=2).transpose(1, 0, 2, 3
+                                                          ).reshape(H * LANES, D)
+
+    k_tok = nib_tokens(buf[slot, :, :H * ROWS, :])
+    v_tok = nib_tokens(buf[slot, :, H * ROWS:2 * H * ROWS, :])
+    # planes: [G, sc_rows, D] u8 -> f32 [G, 4, H, PAGE] -> [4, H, G*PAGE]
+    sc_raw = buf[slot, :, 2 * H * ROWS:, :]
+    sc = pltpu.bitcast(sc_raw.reshape(G * _fused_layout()[1], D),
+                       jnp.float32).reshape(G, 4, H, PAGE)
+
+    q_bf = q_ref[0].astype(jnp.bfloat16)
+    qk_all = jnp.stack([
+        jax.lax.dot_general(
+            q_bf[h], k_tok[h * LANES:(h + 1) * LANES],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0).reshape(H, REP, G, PAGE)
+    q_sum = jnp.sum(
+        q_bf.astype(jnp.float32), axis=2, keepdims=True)[:, :, :, None]
+    valid4 = valid.reshape(1, 1, G, PAGE)
+    s0 = sc[:, 0].transpose(1, 0, 2)[:, None]       # [H, 1, G, PAGE]
+    s1 = sc[:, 1].transpose(1, 0, 2)[:, None]
+    qk = (qk_all * s0 - s1 * q_sum) * SM
+    qk = jnp.where(valid4, qk, MASK_VALUE)
+    m = jnp.max(jnp.max(qk, axis=3, keepdims=True), axis=2, keepdims=True)
+    pexp = jnp.where(valid4, jnp.exp(qk - m), 0.0)
+    l = jnp.sum(jnp.sum(pexp, axis=3, keepdims=True), axis=2,
+                keepdims=True)[:, :, 0]
+    s2 = sc[:, 2].transpose(1, 0, 2)[:, None]
+    z3 = sc[:, 3].transpose(1, 0, 2)[:, None]
+    p4 = (pexp * s2).astype(jnp.bfloat16)
+    corr = jnp.sum(jnp.sum(
+        p4.astype(jnp.float32) * z3, axis=3, keepdims=True), axis=2,
+        keepdims=True)[:, :, 0]
+    p3 = p4.reshape(H, REP, LANES)
+    scale = 1.0 / jnp.maximum(l, 1e-10)
+    for h in range(H):
+        pv = jax.lax.dot_general(
+            p3[h], v_tok[h * LANES:(h + 1) * LANES],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, h] = (pv - corr[h]) * scale[h]
+
+
+def v_fused(q, kp, vp, sc, sel, lens):
+    rec_rows, _ = _fused_layout()
+    return pl.pallas_call(
+        _fused_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, rec_rows, D), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2, G)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, REP, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(sel, lens, q, sc)
+
+
+def _fused_dma_kernel(sel_ref, len_ref, q_ref, pg_hbm, o_ref, buf, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def issue(bb, sl):
+        bbc = jnp.minimum(bb, nb - 1)
+
+        @pl.when(bb < nb)
+        def _():
+            for i in range(G):
+                pltpu.make_async_copy(
+                    pg_hbm.at[sel_ref[bbc, i]],
+                    buf.at[sl, i], sem.at[sl, i],
+                ).start()
+
+    @pl.when(b == 0)
+    def _():
+        issue(b, slot)
+    issue(b + 1, 1 - slot)
+    for i in range(G):
+        pltpu.make_async_copy(
+            pg_hbm.at[sel_ref[b, i]], buf.at[slot, i], sem.at[slot, i],
+        ).wait()
+    kw = pltpu.bitcast(
+        buf[slot, 0, :H * REP, :], jnp.int32)
+    o_ref[0] = kw.astype(jnp.float32).reshape(H, REP, D)
+
+
+def v_fused_dma(q, kp, vp, sc, sel, lens):
+    rec_rows, _ = _fused_layout()
+    return pl.pallas_call(
+        _fused_dma_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, rec_rows, D), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2, G)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, REP, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(sel, lens, q, sc)
 
 
 def main():
@@ -800,8 +972,24 @@ def main():
     # page-plane-major: gather + (Tp <-> H) swap only
     sc_g4 = sc_pool[sel].transpose(0, 2, 1, 3).reshape(B, H, G * 4 * PAGE)
 
+    rec_rows, sc_rows = _fused_layout()
+    fused_pool = jnp.concatenate([
+        kp.reshape(n_pages, H * ROWS, D),
+        vp.reshape(n_pages, H * ROWS, D),
+        # planes in [4, H, PAGE] f32 order, bitcast to u8 with the byte
+        # index as a SUBLANE (matches the kernel's u8->f32 sublane packing:
+        # f32 row r column d = u8 rows 4r..4r+3 column d)
+        jax.lax.bitcast_convert_type(
+            sc_pool.reshape(n_pages, H, 4, PAGE).transpose(0, 2, 1, 3),
+            jnp.uint8,
+        ).transpose(0, 1, 2, 4, 3).reshape(n_pages, sc_rows, D)
+        if sc_rows else jnp.zeros((n_pages, 0, D), jnp.uint8),
+    ], axis=1)
+
     variants = {
         "v_dma": (v_dma, sc_pool),
+        "v_fused": (v_fused, fused_pool),
+        "v_fused_dma": (v_fused_dma, fused_pool),
         "v_cur": (v_cur, sc_g),
         "v_cur_pt": (v_cur_pt, sc_pool),
         "v_noconcat": (v_noconcat, sc_pool),
