@@ -1,28 +1,118 @@
-"""Benchmark: Llama-3-8B W4A8KV4 decode throughput on one chip.
+"""Benchmark: Llama-3-8B W4A8KV4 serving throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: QServe on A100-80G, Llama-3-8B W4A8KV4, batch 256, 1024 in / 512
-out -> 3005 tok/s (reference README.md:262-270; BASELINE.md).
 
-Env knobs: GLOBAL_BATCH_SIZE (128), GLOBAL_PROMPT_LEN (1024),
-BENCH_STEPS (32), BENCH_SMALL=1 (tiny model smoke mode).
+The headline number is the ENGINE protocol — the reference's
+qserve_benchmark.py:81-125 measurement: GLOBAL_BATCH_SIZE random-token
+requests of GLOBAL_PROMPT_LEN through engine.step() in a static batch,
+decode GLOBAL_GENERATE_LEN tokens, 3 rounds, best round's decode tok/s.
+Baseline: QServe on A100-80G, Llama-3-8B W4A8KV4, batch 256, 1024 in /
+512 out -> 3005 tok/s (reference README.md:262-270; BASELINE.md).
+
+Env knobs: GLOBAL_BATCH_SIZE (160), GLOBAL_PROMPT_LEN (1024),
+GLOBAL_GENERATE_LEN (512), BENCH_MULTI_STEP (32, tokens per jitted decode
+window), BENCH_ROUNDS (3), BENCH_SMALL=1 (tiny-model smoke mode),
+BENCH_RAW=1 (raw jitted forward loop instead of the engine — kernel probe,
+round-2 behaviour).
 """
 
 import json
 import os
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 A100_BASELINE_TOKS = 3005.0
 
 
-def main() -> None:
-    from omniserve_tpu.utils.compile_cache import enable_compile_cache
+def engine_bench() -> None:
+    from omniserve_tpu import EngineArgs, LLMEngine
+    from qserve_benchmark import run_round
 
-    enable_compile_cache()
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    batch = int(os.environ.get("GLOBAL_BATCH_SIZE", "16" if small else "160"))
+    prompt_len = int(
+        os.environ.get("GLOBAL_PROMPT_LEN", "128" if small else "1024")
+    )
+    gen_len = int(
+        os.environ.get("GLOBAL_GENERATE_LEN", "32" if small else "512")
+    )
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    multi_step = int(os.environ.get("BENCH_MULTI_STEP", "32"))
+
+    if small:
+        import json as _json
+        import tempfile
+
+        cfg_dir = tempfile.mkdtemp(prefix="omniserve_bench_small_")
+        with open(os.path.join(cfg_dir, "config.json"), "w") as f:
+            _json.dump(dict(
+                architectures=["LlamaForCausalLM"], hidden_size=512,
+                intermediate_size=1024, num_attention_heads=8,
+                num_key_value_heads=2, num_hidden_layers=4,
+                vocab_size=32000, rope_theta=10000.0,
+                max_position_embeddings=4096, rms_norm_eps=1e-5,
+                model_type="llama",
+            ), f)
+        model_dir = cfg_dir
+    else:
+        import importlib.util
+
+        spec_ = importlib.util.spec_from_file_location(
+            "make_bench_config",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "make_bench_config.py"),
+        )
+        mbc = importlib.util.module_from_spec(spec_)
+        spec_.loader.exec_module(mbc)
+        model_dir = mbc.write_family("llama3-8b", "/tmp/omniserve_bench_cfgs")
+
+    blocks_per_seq = (prompt_len + gen_len + 127) // 128 + 1
+    t0 = time.time()
+    engine = LLMEngine.from_engine_args(EngineArgs(
+        model=model_dir,
+        precision="w4a8kv4",
+        load_format="dummy",
+        ifb_mode=False,
+        benchmarking_mode=True,
+        disable_log_stats=True,   # keep stdout to the one JSON line
+        decode_multi_step=multi_step,
+        max_num_seqs=batch,
+        max_num_batched_tokens=max(262144, batch * prompt_len),
+        num_retrieval_blocks=blocks_per_seq * batch + 2,
+    ))
+    t_build = time.time() - t0
+
+    results = []
+    t0 = time.time()
+    for _ in range(rounds):
+        results.append(run_round(engine, batch, prompt_len, gen_len))
+    t_total = time.time() - t0
+    best = max(results)
+    result = {
+        "metric": "llama3_8b_w4a8kv4_engine_throughput"
+        + ("_small" if small else ""),
+        "value": round(best, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(best / A100_BASELINE_TOKS, 3),
+        "batch": batch,
+        "prompt_len": prompt_len,
+        "gen_len": gen_len,
+        "rounds": [round(r, 1) for r in results],
+        "multi_step": multi_step,
+        "backend": __import__("jax").default_backend(),
+        "build_s": round(t_build, 1),
+        "bench_s": round(t_total, 1),
+        "step_ms": round(batch * 1000.0 / best, 2),
+        "protocol": "engine qserve_benchmark (1024in/512out static batch)",
+    }
+    print(json.dumps(result))
+
+
+def raw_bench() -> None:
+    """Round-2 raw jitted forward-loop probe (kernel-level ceiling)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from omniserve_tpu.models.llama import (
         DecodeBatch,
         LlamaSpec,
@@ -32,8 +122,6 @@ def main() -> None:
     from omniserve_tpu.ops.paged_kv import make_kv_pool
 
     small = os.environ.get("BENCH_SMALL", "0") == "1"
-    # 160 is the measured single-chip sweet spot (4367 tok/s vs 4228 at
-    # 128 and 4312 at 192; the reference reports max-throughput batch too)
     batch = int(os.environ.get("GLOBAL_BATCH_SIZE", "16" if small else "160"))
     ctx = int(os.environ.get("GLOBAL_PROMPT_LEN", "128" if small else "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "8" if small else "32"))
@@ -69,57 +157,47 @@ def main() -> None:
         batch, blocks_per_seq
     )
 
-    def make_batch(pos):
-        return DecodeBatch(
-            token_ids=jnp.ones((batch,), jnp.int32),
-            positions=jnp.full((batch,), pos, jnp.int32),
-            block_tables=jnp.asarray(tables),
-            streaming_block_tables=jnp.zeros((batch, 1), jnp.int32),
-            active=jnp.ones((batch,), bool),
-            new_page_ids=jnp.full((8,), -1, jnp.int32),
-            refresh_selection=jnp.asarray(False),
-            cached_page_idxes=jnp.full(
-                (spec.num_layers, batch, 1, 1), -1, jnp.int32
-            ),
-        )
+    batch_dev = DecodeBatch(
+        token_ids=jnp.ones((batch,), jnp.int32),
+        positions=jnp.full((batch,), ctx, jnp.int32),
+        block_tables=jnp.asarray(tables),
+        streaming_block_tables=jnp.zeros((batch, 1), jnp.int32),
+        active=jnp.ones((batch,), bool),
+        new_page_ids=jnp.full((8,), -1, jnp.int32),
+        refresh_selection=jnp.asarray(False),
+        cached_page_idxes=jnp.full(
+            (spec.num_layers, batch, 1, 1), jnp.int32(-1)
+        ),
+    )
 
     import functools
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def step(params, pool, batch_dev):
-        # Everything device-side lives INSIDE one jitted program: eager ops
-        # between steps cost ~20 ms each on a remote-attached TPU.
         logits, pool, _, _ = llama_forward(
             params, pool, None, batch_dev, spec=spec, is_prefill=False
         )
-        # FULL-vocab greedy argmax: slicing logits here would let XLA
-        # narrow the lm_head matmul and under-measure the real step
         toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = batch_dev._replace(
             token_ids=toks, positions=batch_dev.positions + 1
         )
         return nxt, pool
 
-    # warmup / compile. NOTE: block_until_ready can return before the
-    # device actually finishes on remote-attached TPUs — a device->host
-    # fetch is the only reliable completion barrier.
     fetch = jax.jit(lambda t: t[:4])
     t0 = time.time()
-    batch_dev = make_batch(ctx)
     batch_dev, pool = step(params, pool, batch_dev)
     np.asarray(fetch(batch_dev.token_ids))
     t_compile = time.time() - t0
 
-    # timed decode loop (positions advance; same compiled program)
     t0 = time.time()
-    for i in range(steps):
+    for _ in range(steps):
         batch_dev, pool = step(params, pool, batch_dev)
     np.asarray(fetch(batch_dev.token_ids))
     dt = time.time() - t0
 
     toks_per_s = batch * steps / dt
     result = {
-        "metric": "llama3_8b_w4a8kv4_decode_throughput"
+        "metric": "llama3_8b_w4a8kv4_decode_throughput_raw"
         + ("_small" if small else ""),
         "value": round(toks_per_s, 1),
         "unit": "tok/s/chip",
@@ -133,6 +211,16 @@ def main() -> None:
         "step_ms": round(dt / steps * 1000, 2),
     }
     print(json.dumps(result))
+
+
+def main() -> None:
+    from omniserve_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    if os.environ.get("BENCH_RAW", "0") == "1":
+        raw_bench()
+    else:
+        engine_bench()
 
 
 if __name__ == "__main__":

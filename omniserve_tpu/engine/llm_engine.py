@@ -532,8 +532,16 @@ class LLMEngine:
         check_stop: bool = True,
     ) -> List[RequestOutput]:
         groups = sched_out.scheduled_seq_groups
-        if self.log_stats and sched_out.prompt_run:
-            self._stats_prompt_tokens += sched_out.num_batched_tokens
+        if sched_out.prompt_run:
+            if self.log_stats:
+                self._stats_prompt_tokens += sched_out.num_batched_tokens
+            for g in groups:
+                # the prefill that just ran wrote this prefix's KV pages:
+                # later requests sharing it prefill only their suffix
+                # (reference prefix.py:53-91 allocates but never computes)
+                p = getattr(g, "prefix", None)
+                if p is not None and p.allocated and not p.evicted:
+                    p.computed = True
         for group, group_out in zip(groups, samples):
             for sample in group_out.samples:
                 seq = group.find(sample.parent_seq_id)

@@ -749,13 +749,20 @@ def _layer_step(
             lambda: cached,
         )
 
-    pools = _write_kv(
-        pools, layer_idx, k, v, pages_r, slots_r, pages_s, slots_s, meta_l,
-        spec, update_stats=spec.sparse_decode, unique_pages=not is_prefill,
-        # chunked prefill is page-aligned by construction: chunk size is a
-        # page multiple and each [B, Tc] row starts at ci*Tc
-        page_aligned=is_prefill and batch.context_lens is not None,
-    )
+    # Decode appends fuse into the attention kernel (dispatch splits them
+    # back apart off-TPU / for unsupported configs); the dynamic-sparse
+    # path keeps the separate append (it must also update the K min/max
+    # selector stats, and attends through the per-head-page-list kernel).
+    fuse_decode_append = (not is_prefill) and not spec.sparse_decode
+    if not fuse_decode_append:
+        pools = _write_kv(
+            pools, layer_idx, k, v, pages_r, slots_r, pages_s, slots_s,
+            meta_l, spec, update_stats=spec.sparse_decode,
+            unique_pages=not is_prefill,
+            # chunked prefill is page-aligned by construction: chunk size
+            # is a page multiple and each [B, Tc] row starts at ci*Tc
+            page_aligned=is_prefill and batch.context_lens is not None,
+        )
     retrieval_pool, streaming_pool = pools
 
     if is_prefill and batch.context_lens is not None:
@@ -797,29 +804,63 @@ def _layer_step(
         )
     else:
         context_lens = jnp.where(batch.active, batch.positions + 1, 0)
-        attn = dispatch.paged_decode_attention(
-            q, retrieval_pool, layer_idx, batch.block_tables, context_lens,
-            spec.sm_scale, spec.page_size, spec.kv_bits, spec.kv_zeros,
-            streaming_pool=streaming_pool,
-            streaming_block_tables=batch.streaming_block_tables,
-            head_is_retrieval=(
-                meta_l["retrieval_flags"] if streaming_pool is not None
-                else None
-            ),
-            head_rank=(
-                meta_l["head_rank"] if streaming_pool is not None else None
-            ),
-            sink_blocks=spec.sink_blocks,
-            local_blocks=spec.local_blocks,
-            page_idxes=page_idxes_l,
-            dec_sink_tokens=(
-                None if spec.dec_sink_tokens < 0 else spec.dec_sink_tokens
-            ),
-            dec_local_tokens=(
-                None if spec.dec_local_tokens < 0
-                else spec.dec_local_tokens
-            ),
-        )
+        if fuse_decode_append:
+            attn, retrieval_pool, streaming_pool = (
+                dispatch.paged_decode_attention_fused(
+                    q, retrieval_pool, streaming_pool, layer_idx,
+                    batch.block_tables, context_lens, k, v,
+                    pages_r, slots_r, pages_s, slots_s,
+                    sm_scale=spec.sm_scale, page_size=spec.page_size,
+                    kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
+                    streaming_block_tables=batch.streaming_block_tables,
+                    head_is_retrieval=(
+                        meta_l["retrieval_flags"]
+                        if streaming_pool is not None else None
+                    ),
+                    head_rank=(
+                        meta_l["head_rank"]
+                        if streaming_pool is not None else None
+                    ),
+                    sink_blocks=spec.sink_blocks,
+                    local_blocks=spec.local_blocks,
+                    dec_sink_tokens=(
+                        None if spec.dec_sink_tokens < 0
+                        else spec.dec_sink_tokens
+                    ),
+                    dec_local_tokens=(
+                        None if spec.dec_local_tokens < 0
+                        else spec.dec_local_tokens
+                    ),
+                )
+            )
+            pools = (retrieval_pool, streaming_pool)
+        else:
+            attn = dispatch.paged_decode_attention(
+                q, retrieval_pool, layer_idx, batch.block_tables,
+                context_lens,
+                spec.sm_scale, spec.page_size, spec.kv_bits, spec.kv_zeros,
+                streaming_pool=streaming_pool,
+                streaming_block_tables=batch.streaming_block_tables,
+                head_is_retrieval=(
+                    meta_l["retrieval_flags"] if streaming_pool is not None
+                    else None
+                ),
+                head_rank=(
+                    meta_l["head_rank"] if streaming_pool is not None
+                    else None
+                ),
+                sink_blocks=spec.sink_blocks,
+                local_blocks=spec.local_blocks,
+                page_idxes=page_idxes_l,
+                dec_sink_tokens=(
+                    None if spec.dec_sink_tokens < 0
+                    else spec.dec_sink_tokens
+                ),
+                dec_local_tokens=(
+                    None if spec.dec_local_tokens < 0
+                    else spec.dec_local_tokens
+                ),
+            )
     attn = attn.reshape(t, spec.q_size)
     a_q, a_scale, a_sum = _act_quant(attn, spec)
     o_out = _apply_linear(lp["o"], spec, a_q, a_scale, a_sum,

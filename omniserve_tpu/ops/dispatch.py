@@ -48,6 +48,76 @@ def paged_decode_attention(*args, **kwargs):
     return attention_ref.paged_decode_attention(*args, **kwargs)
 
 
+def paged_decode_attention_fused(
+    q, pool, streaming_pool, layer, block_tables, context_lens,
+    k_new, v_new, pages_r, slots_r, pages_s, slots_s, *,
+    sm_scale, page_size, kv_bits, kv_zeros,
+    streaming_block_tables=None, head_is_retrieval=None, head_rank=None,
+    sink_blocks=0, local_blocks=0,
+    dec_sink_tokens=None, dec_local_tokens=None,
+):
+    """Decode attention WITH the step's KV append, one call.
+
+    ``context_lens`` INCLUDE the new token. On TPU with the single-pass
+    kernel the append fuses into the attention pass (extra exact lane +
+    in-kernel page write-back — the reference MMHA structure, replacing
+    the separate per-token append kernel's ~2.7 ms/step at batch 160).
+    Elsewhere it splits into append_kv_decode + paged_decode_attention
+    with identical semantics. Returns (out, pool, streaming_pool)."""
+    fused = False
+    if _on_tpu() and os.environ.get("OMNISERVE_FUSED_APPEND", "1") == "1":
+        from omniserve_tpu.ops.pallas.decode_attention import supports
+
+        fused = supports(kv_bits, page_size, q.shape[-1])
+    if fused:
+        from omniserve_tpu.ops.pallas import paged_attention
+
+        return paged_attention.paged_decode_attention(
+            q, pool, layer, block_tables, context_lens, sm_scale,
+            page_size, kv_bits, kv_zeros,
+            streaming_pool=streaming_pool,
+            streaming_block_tables=streaming_block_tables,
+            head_is_retrieval=head_is_retrieval, head_rank=head_rank,
+            sink_blocks=sink_blocks, local_blocks=local_blocks,
+            dec_sink_tokens=dec_sink_tokens,
+            dec_local_tokens=dec_local_tokens,
+            append_kv=(k_new, v_new),
+        )
+    # split path: append first, then attend the updated pools
+    import jax.numpy as jnp
+
+    from omniserve_tpu.ops.pallas.paged_attention import _pool_head_sources
+
+    if head_is_retrieval is None:
+        src_r = jnp.arange(pool.num_heads)
+    else:
+        src_r = _pool_head_sources(
+            head_rank, head_is_retrieval, pool.num_heads, True
+        )
+    pool = append_kv_decode(
+        pool, layer, k_new[:, src_r], v_new[:, src_r], pages_r, slots_r,
+        page_size, kv_bits, kv_zeros,
+    )
+    if streaming_pool is not None:
+        src_s = _pool_head_sources(
+            head_rank, head_is_retrieval, streaming_pool.num_heads, False
+        )
+        streaming_pool = append_kv_decode(
+            streaming_pool, layer, k_new[:, src_s], v_new[:, src_s],
+            pages_s, slots_s, page_size, kv_bits, kv_zeros,
+        )
+    out = paged_decode_attention(
+        q, pool, layer, block_tables, context_lens, sm_scale, page_size,
+        kv_bits, kv_zeros,
+        streaming_pool=streaming_pool,
+        streaming_block_tables=streaming_block_tables,
+        head_is_retrieval=head_is_retrieval, head_rank=head_rank,
+        sink_blocks=sink_blocks, local_blocks=local_blocks,
+        dec_sink_tokens=dec_sink_tokens, dec_local_tokens=dec_local_tokens,
+    )
+    return out, pool, streaming_pool
+
+
 def append_kv_decode(pool, layer, k, v, page_ids, slots, page_size,
                      kv_bits, kv_zeros, update_stats=False, sub_chunks=4):
     """Decode-step KV append (+ optional stats). Pallas in-place kernel on

@@ -79,28 +79,30 @@ def supports(kv_bits: int, page_size: int, head_dim: int) -> bool:
     )
 
 
+def _quant_token_rows(x, kv_bits, kv_zeros, pt_scale):
+    """[H, D] f32 -> (q in [0, levels] f32, dequantized f32, planes|None).
+
+    Same math as ops/pallas/kv_append._quant_rows; ``planes`` is the
+    per-head folded (scale, scale*(zero+128)) pair for the fine path.
+    """
+    if kv_zeros:
+        levels = 15.0 if kv_bits == 4 else 255.0
+        x_max = jnp.max(x, axis=1, keepdims=True)
+        x_min = jnp.min(x, axis=1, keepdims=True)
+        rng = jnp.maximum(x_max - x_min, 1e-5)
+        scale = rng / levels
+        zero = -levels * x_min / rng
+        qv = jnp.clip(jnp.rint(x / scale + zero), 0.0, levels)
+        dq = (qv - zero) * scale
+        return qv, dq, (scale, zero)
+    qmax = 7.0 if kv_bits == 4 else 127.0
+    qv = jnp.clip(jnp.rint(x / pt_scale), -qmax - 1.0, qmax) + (qmax + 1.0)
+    dq = (qv - (qmax + 1.0)) * pt_scale
+    return qv, dq, None
+
+
 def _sp_kernel(
-    # scalar prefetch
-    sel_phys_ref,   # [B, Tp] i32: layer-folded physical page index
-    sel_logic_ref,  # [B, Tp] i32 logical page (-1 = pad)
-    lengths_ref,    # [B] i32
-    win_ref,        # [B] i32 band window start (unused when band off)
-    pt_ref,         # [2] f32 per-tensor scales (dummy when fine-grained)
-    # blocks
-    q_ref,          # [1, H, n_rep, D]
-    # full-array HBM refs
-    k_hbm,          # [L*P, H, R, D] u8
-    v_hbm,
-    sc_hbm,         # [L*P, 4, H, page] f32 folded planes (dummy if per-tensor)
-    # out
-    o_ref,          # [1, H, n_rep, D]
-    # scratch
-    k_buf,          # [2, H, G*R, D] u8
-    v_buf,
-    sc_buf,         # [2, 4, H, G*page] f32
-    sem,            # DMA sems [2, G, 3]
-    m_ref, l_ref, acc_ref,
-    *,
+    *args,
     sm_scale: float,
     page_size: int,
     kv_zeros: bool,
@@ -111,7 +113,29 @@ def _sp_kernel(
     kv_bits: int = 4,
     ring_span: int = 0,       # ring capacity in pages (streaming calls)
     ring_sink_tok: int = 0,   # first ring-block position (tokens)
+    fused: bool = False,      # quantize + append the new token in-kernel
 ):
+    if fused:
+        (sel_phys_ref, sel_logic_ref, lengths_ref, win_ref, pt_ref,
+         tgt_pos_ref, tgt_slot_ref,
+         q_ref, kn_ref, vn_ref, k_hbm, v_hbm, sc_hbm,
+         o_ref, kd_out, vd_out, sc_out,
+         k_buf, v_buf, sc_buf, sem,
+         wk_buf, wv_buf, wsc_buf, wsem,
+         m_ref, l_ref, acc_ref) = args
+    else:
+        (sel_phys_ref, sel_logic_ref, lengths_ref, win_ref, pt_ref,
+         q_ref, k_hbm, v_hbm, sc_hbm,
+         o_ref,
+         k_buf, v_buf, sc_buf, sem,
+         m_ref, l_ref, acc_ref) = args
+    # args: scalar prefetch [B,Tp] phys / [B,Tp] logic / [B] lengths /
+    # [B] band window start / [2] per-tensor scales (+ fused: [B] target
+    # position in the sel list, [B] slot within the page); blocks q
+    # [1,H,n_rep,D] (+ fused: new-token k/v [1,H,D] f32); ANY-space pools
+    # [L*P,H,R,D] u8 and planes [L*P,4,H,page] f32; out o (+ fused:
+    # aliased pool arrays); scratch: double-buffered page/plane buffers,
+    # (+ fused: write-back window/plane buffers), flash m/l/acc.
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -140,18 +164,30 @@ def _sp_kernel(
             ),
         ]
         if kv_zeros:
+            # dst sc_buf[sl, i] is CONTIGUOUS (page-record-major buffer):
+            # a lane-window dst ([..., i*page:(i+1)*page]) costs ~25% extra
+            # kernel time from 32 strided 512B chunks per copy (measured,
+            # scripts/microbench_attn.py v_scdma vs the r3 strided layout)
             cps.append(pltpu.make_async_copy(
                 sc_hbm.at[idx],
-                sc_buf.at[sl, :, :, pl.ds(i * page_size, page_size)],
+                sc_buf.at[sl, i],
                 sem.at[sl, i, 2],
             ))
         return cps
 
     def issue(bb, cc, sl):
+        # UNCONDITIONAL per-page copies: pad entries carry sel_phys=0 (a
+        # real page; its lanes are masked by ``valid``), so skipping their
+        # DMA is legal but costs one predicated scalar region per page —
+        # measured slower than the ~1-pad-page of wasted bandwidth
+        # (scripts/microbench_attn.py v_scdma vs the per-page pl.when form)
         bbc = jnp.minimum(bb, nb - 1)
-        for i in range(g):
-            @pl.when((bb < nb) & (sel_logic_ref[bbc, cc * g + i] >= 0))
-            def _():
+
+        # one conditional per CHUNK: page lists fill front-to-back, so a
+        # chunk whose first page is padding is entirely padding
+        @pl.when((bb < nb) & (sel_logic_ref[bbc, cc * g] >= 0))
+        def _():
+            for i in range(g):
                 for c in copies(bbc, cc, sl, i):
                     c.start()
 
@@ -165,9 +201,9 @@ def _sp_kernel(
     nxt_j = jnp.where(j == n_chunks - 1, 0, j + 1)
     issue(nxt_b, nxt_j, 1 - slot)
 
-    for i in range(g):
-        @pl.when(sel_logic_ref[b, j * g + i] >= 0)
-        def _():
+    @pl.when(sel_logic_ref[b, j * g] >= 0)
+    def _wait_chunk():
+        for i in range(g):
             for c in copies(b, j, slot, i):
                 c.wait()
 
@@ -203,11 +239,114 @@ def _sp_kernel(
         floor = jnp.where(stale, ring_sink_tok, 0)
     else:
         floor = 0
-    valid = (logic >= 0) & (pos < length) & (pos >= floor)
+    # fused append: the new token's in-page lane is stale (its write
+    # happens in this same kernel pass) — exclude it and attend the token
+    # through an exact extra lane computed from the quantized values
+    page_len = length - 1 if fused else length
+    valid = (logic >= 0) & (pos < page_len) & (pos >= floor)
     if band_sink >= 0:
         # streaming decode band: sink tokens + the last dec-local window
         # (reference MMHA streaming-head semantics at token granularity)
         valid = valid & ((pos < band_sink) | (pos >= win_ref[b]))
+
+    if fused:
+        tgt_pos = tgt_pos_ref[b]
+        tslot = tgt_slot_ref[b]
+        new_active = (tgt_pos >= 0) & (length > 0)
+        kq, k_dq, k_pl = _quant_token_rows(
+            kn_ref[0].astype(jnp.float32), kv_bits, kv_zeros, pt_ref[0]
+        )
+        vq, v_dq, v_pl = _quant_token_rows(
+            vn_ref[0].astype(jnp.float32), kv_bits, kv_zeros, pt_ref[1]
+        )
+        # extra-lane score from the SAME dequantized values the page would
+        # hold after the append (append-then-attend numerics)
+        q_f32 = q_ref[0].astype(jnp.float32)           # [H, n_rep, D]
+        qk_new = jnp.sum(
+            q_f32 * k_dq[:, None, :], axis=2, keepdims=True
+        ) * sm_scale                                   # [H, n_rep, 1]
+        qk_new = jnp.where(new_active, qk_new, MASK_VALUE)
+        v_dq_b = v_dq[:, None, :]                      # [H, 1, D]
+
+    # ---------------- fused append write-back ----------------
+    if fused:
+        c_star = tgt_pos // g              # chunk holding the target page
+        i_star = tgt_pos - c_star * g      # page position within the chunk
+        phys_tgt = sel_phys_ref[b, jnp.maximum(tgt_pos, 0)]
+        if kv4:
+            i_blk = tslot // bk
+            drow = 2 * jax.lax.rem(tslot, bk) + jax.lax.rem(i_blk, 2)
+            is_hi = i_blk >= 2
+        else:
+            drow = tslot
+            is_hi = jnp.asarray(False)
+        win = 32 if rows % 32 == 0 else rows   # u8 sublane window
+        wbase = (drow // win) * win            # page-local window start
+        rel = drow - wbase
+
+        def wb_copies():
+            cps = [
+                pltpu.make_async_copy(
+                    wk_buf,
+                    kd_out.at[phys_tgt, :, pl.ds(
+                        pl.multiple_of(wbase, win), win), :],
+                    wsem.at[0],
+                ),
+                pltpu.make_async_copy(
+                    wv_buf,
+                    vd_out.at[phys_tgt, :, pl.ds(
+                        pl.multiple_of(wbase, win), win), :],
+                    wsem.at[1],
+                ),
+            ]
+            if kv_zeros:
+                cps.append(pltpu.make_async_copy(
+                    wsc_buf, sc_out.at[phys_tgt], wsem.at[2],
+                ))
+            return cps
+
+        do_wb = new_active & (j == jnp.minimum(c_star, n_chunks - 1))
+
+        @pl.when(do_wb)
+        def _write_back():
+            hit = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) == rel
+            )
+            bstart = pl.multiple_of(i_star * rows + wbase, win)
+
+            def merge(buf, wbuf, qv):
+                window = buf[slot, :, pl.ds(bstart, win), :]
+                q_i = jnp.clip(qv, 0.0, 255.0).astype(jnp.int32)[:, None, :]
+                win_i = window.astype(jnp.int32)
+                if kv4:
+                    upd = jnp.where(
+                        is_hi,
+                        (win_i & 0x0F) | (q_i << 4),
+                        (win_i & 0xF0) | q_i,
+                    )
+                else:
+                    upd = q_i
+                wbuf[...] = pltpu.bitcast(
+                    jnp.where(hit, upd, win_i).astype(jnp.int8), jnp.uint8
+                )
+
+            merge(k_buf, wk_buf, kq)
+            merge(v_buf, wv_buf, vq)
+            if kv_zeros:
+                lane_sc = jax.lax.broadcasted_iota(
+                    jnp.int32, (4, n_heads, page_size), 2
+                )
+                ks_, kz_ = k_pl
+                vs_, vz_ = v_pl
+                vals = jnp.stack([
+                    ks_, ks_ * (kz_ + 128.0), vs_, vz_ + 128.0
+                ], axis=0)                             # [4, H, 1]
+                wsc_buf[...] = jnp.where(
+                    lane_sc == tslot, vals,
+                    sc_buf[slot, jnp.minimum(i_star, g - 1)],
+                )
+            for c in wb_copies():
+                c.start()
 
     # shared page lists fill in order: chunk live iff its first page is
     any_valid = sel_logic_ref[b, j * g] >= 0
@@ -261,11 +400,18 @@ def _sp_kernel(
                 preferred_element_type=jnp.float32,
             )
             for h in range(n_heads)], axis=0)          # [H, n_rep, lanes]
+        def plane(k):
+            # [g, H, T] -> [H, 1, g*T=lanes]; the (g, H) swap is a sublane
+            # permute (T minor preserved) — measured free vs the math
+            return jnp.transpose(
+                sc_buf[slot, :, k], (1, 0, 2)
+            ).reshape(n_heads, 1, lanes)
+
         if kv_zeros:
             # planes at pad lanes (no DMA issued) are VMEM garbage — every
             # use is masked by ``valid`` downstream
-            s0 = sc_buf[slot, 0][:, None, :]           # [H, 1, lanes]
-            s1 = sc_buf[slot, 1][:, None, :]           # = s*(z+128)
+            s0 = plane(0)                              # [H, 1, lanes]
+            s1 = plane(1)                              # = s*(z+128)
             if not kv4:            # kv8 tokens carry no +128 magic bias
                 s1 = s1 - 128.0 * s0
             qk = (qk_int * s0 - s1 * q_sum) * sm_scale
@@ -275,7 +421,7 @@ def _sp_kernel(
 
         m_curr = jnp.max(qk, axis=2, keepdims=True)    # [H, n_rep, 1]
         if single:
-            m_next = m_curr
+            m_next = jnp.maximum(m_curr, qk_new) if fused else m_curr
         else:
             m_prev = m_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
             l_prev = l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
@@ -285,7 +431,15 @@ def _sp_kernel(
         pexp = jnp.where(valid, pexp, 0.0)
         l_curr = jnp.sum(pexp, axis=2, keepdims=True)
         if single:
-            l_next = l_curr
+            if fused:
+                # qk_new may equal MASK together with m_next (inactive
+                # row): exp(0)=1 would corrupt l — mask explicitly
+                pexp_new = jnp.where(
+                    new_active, jnp.exp(qk_new - m_next), 0.0
+                )
+                l_next = l_curr + pexp_new
+            else:
+                l_next = l_curr
         else:
             l_next = alpha * l_prev + l_curr
             m_ref[...] = jnp.broadcast_to(
@@ -296,8 +450,8 @@ def _sp_kernel(
             ).reshape(n_heads * n_rep, 128)
 
         if kv_zeros:
-            s2 = sc_buf[slot, 2][:, None, :]
-            z3 = sc_buf[slot, 3][:, None, :]           # = z+128
+            s2 = plane(2)
+            z3 = plane(3)                              # = z+128
             if not kv4:                                # kv8: plain z
                 z3 = z3 - 128.0
             # mask BEFORE multiplying: pad-lane planes are garbage and
@@ -324,6 +478,8 @@ def _sp_kernel(
             for h in range(n_heads)], axis=0)          # [H, n_rep, D]
         contrib = (pv - corr) * v_scale
         if single:
+            if fused:
+                contrib = contrib + pexp_new * v_dq_b
             o_ref[0] = (
                 contrib / jnp.maximum(l_next, 1e-10)
             ).astype(o_ref.dtype)
@@ -344,11 +500,33 @@ def _sp_kernel(
         def _finalize():
             n_rep = o_ref.shape[2]
             d_ = acc_ref.shape[-1]
-            l3 = jnp.maximum(
-                l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1], 1e-10
-            )
+            m_prev = m_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
+            l_prev = l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
             acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
-            o_ref[0] = (acc3 / l3).astype(o_ref.dtype)
+            if fused:
+                # fold the new token's extra lane into the accumulated
+                # online softmax (it belongs to the LAST chunk's window)
+                m_fin = jnp.maximum(m_prev, qk_new)
+                alpha_f = jnp.exp(m_prev - m_fin)
+                p_new = jnp.where(
+                    new_active, jnp.exp(qk_new - m_fin), 0.0
+                )
+                l_fin = alpha_f * l_prev + p_new
+                acc3 = alpha_f * acc3 + p_new * v_dq_b
+            else:
+                l_fin = l_prev
+            o_ref[0] = (
+                acc3 / jnp.maximum(l_fin, 1e-10)
+            ).astype(o_ref.dtype)
+
+    if fused:
+        # the write-back scratches are reused next grid step: wait
+        # before leaving it (the copies overlapped the attention math,
+        # which was issued after them)
+        @pl.when(do_wb)
+        def _wait_write_back():
+            for c in wb_copies():
+                c.wait()
 
 
 def paged_mqa_attention_single_pass(
@@ -367,13 +545,23 @@ def paged_mqa_attention_single_pass(
     band_local_tokens: int = 0,
     ring_span_pages: int = 0,
     ring_sink_tokens: int = 0,
+    append=None,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """kv4/kv8 decode attention reading pages straight from the pool in HBM.
 
     ``band_sink_tokens >= 0`` enables the streaming decode band: only
     positions < band_sink_tokens or >= length - band_local_tokens are
-    attended (the ring may hold a larger window for chunked prefill)."""
+    attended (the ring may hold a larger window for chunked prefill).
+
+    ``append=(k_new, v_new, tgt_pos, tgt_slot)`` fuses the decode KV
+    append into this kernel (the reference MMHA structure: quantize the
+    new token, attend it through an exact extra lane, read-modify-write
+    only the touched page window back to the pool — replaces the separate
+    per-token append kernel, which cost ~2.7 ms/step at batch 160).
+    ``lengths`` then INCLUDE the new token; ``tgt_pos`` is the page's
+    position in the sel list (-1 = inactive), ``tgt_slot`` the token's
+    slot within the page. Returns (out, pool') instead of out."""
     b, hkv, n_rep, d = q.shape
     bk = page_size // 4
     tp = sel_logic.shape[-1]
@@ -420,6 +608,7 @@ def paged_mqa_attention_single_pass(
         0, lengths.astype(jnp.int32) - int(band_local_tokens)
     )
 
+    fused = append is not None
     kernel = functools.partial(
         _sp_kernel,
         sm_scale=sm_scale,
@@ -432,40 +621,92 @@ def paged_mqa_attention_single_pass(
         kv_bits=4 if rows * 2 == page_size else 8,
         ring_span=int(ring_span_pages),
         ring_sink_tok=int(ring_sink_tokens),
+        fused=fused,
     )
+    q_spec = pl.BlockSpec((1, hkv, n_rep, d),
+                          lambda b_, j_, *pref: (b_, 0, 0, 0))
+    kv_new_spec = pl.BlockSpec((1, hkv, d), lambda b_, j_, *pref: (b_, 0, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    win_rows = 32 if rows % 32 == 0 else rows
+    scratch = [
+        pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # k pages
+        pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # v pages
+        pltpu.VMEM((2, g, 4, hkv, page_size), jnp.float32),  # planes
+        pltpu.SemaphoreType.DMA((2, g, 3)),
+    ]
+    if fused:
+        scratch += [
+            pltpu.VMEM((hkv, win_rows, d), jnp.uint8),   # k write window
+            pltpu.VMEM((hkv, win_rows, d), jnp.uint8),   # v write window
+            pltpu.VMEM((4, hkv, page_size), jnp.float32),  # plane record
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    scratch += [
+        pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # m
+        pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # l
+        pltpu.VMEM((hkv * n_rep, d), jnp.float32),      # acc
+    ]
+    if not fused:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(b, n_chunks),
+            in_specs=[q_spec, any_spec, any_spec, any_spec],
+            out_specs=pl.BlockSpec((1, hkv, n_rep, d),
+                                   lambda b_, j_, *pref: (b_, 0, 0, 0)),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(phys_folded, sel_logic.astype(jnp.int32),
+          lengths.astype(jnp.int32), win_start, pt_arr, q,
+          k_flat, v_flat, sc_flat)
+
+    k_new, v_new, tgt_pos, tgt_slot = append
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(b, n_chunks),
-        in_specs=[
+        in_specs=[q_spec, kv_new_spec, kv_new_spec,
+                  any_spec, any_spec, any_spec],
+        out_specs=(
             pl.BlockSpec((1, hkv, n_rep, d),
                          lambda b_, j_, *pref: (b_, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, hkv, n_rep, d),
-                               lambda b_, j_, *pref: (b_, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # k pages
-            pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),   # v pages
-            pltpu.VMEM((2, 4, hkv, g * page_size), jnp.float32),  # planes
-            pltpu.SemaphoreType.DMA((2, g, 3)),
-            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # m
-            pltpu.VMEM((hkv * n_rep, 128), jnp.float32),    # l
-            pltpu.VMEM((hkv * n_rep, d), jnp.float32),      # acc
-        ],
+            any_spec, any_spec, any_spec,
+        ),
+        scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    out, kd, vd, sc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+            jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
+            jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
+            jax.ShapeDtypeStruct(sc_flat.shape, sc_flat.dtype),
+        ),
+        # pool arrays update in place (args indexed incl. scalar prefetch)
+        input_output_aliases={10: 1, 11: 2, 12: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(phys_folded, sel_logic.astype(jnp.int32),
-      lengths.astype(jnp.int32), win_start, pt_arr, q,
-      k_flat, v_flat, sc_flat)
+      lengths.astype(jnp.int32), win_start, pt_arr,
+      tgt_pos.astype(jnp.int32), tgt_slot.astype(jnp.int32),
+      q, k_new, v_new, k_flat, v_flat, sc_flat)
+    new_pool = pool._replace(
+        k_data=kd.reshape(pool.k_data.shape),
+        v_data=vd.reshape(pool.v_data.shape),
+        kv_scales=(
+            sc.reshape(pool.kv_scales.shape) if fine else pool.kv_scales
+        ),
+    )
+    return out, new_pool
 
 
 

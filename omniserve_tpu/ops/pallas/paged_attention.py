@@ -563,9 +563,15 @@ def paged_decode_attention(
     page_idxes: Optional[jnp.ndarray] = None,
     dec_sink_tokens: Optional[int] = None,
     dec_local_tokens: Optional[int] = None,
+    append_kv=None,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Drop-in Pallas replacement for attention_ref.paged_decode_attention."""
+):
+    """Drop-in Pallas replacement for attention_ref.paged_decode_attention.
+
+    ``append_kv=(k_new [B,Hkv,D], v_new)`` fuses the decode KV append into
+    the single-pass kernels (context_lens must then INCLUDE the new
+    token); requires the single-pass path and no dynamic page selection.
+    Returns (out, retrieval_pool', streaming_pool') instead of out."""
     b, hq, d = q.shape
     max_blocks = block_tables.shape[1]
     pure_dense = head_is_retrieval is None
@@ -588,6 +594,18 @@ def paged_decode_attention(
     from omniserve_tpu.ops.pallas import decode_attention as sp
 
     use_sp = sp.supports(kv_bits, page_size, d)
+    if append_kv is not None:
+        assert use_sp and page_idxes is None, (
+            "fused decode append needs the single-pass kernel and no "
+            "dynamic page selection (dispatch gates this)"
+        )
+        k_all_new, v_all_new = append_kv
+        tgt_logic = jnp.where(
+            context_lens > 0, (context_lens - 1) // page_size, -1
+        ).astype(jnp.int32)
+        tgt_slot = jnp.where(
+            context_lens > 0, (context_lens - 1) % page_size, 0
+        ).astype(jnp.int32)
 
     # -- retrieval pool call (q heads routed by rank) --
     hr = pool.num_heads
@@ -621,12 +639,21 @@ def paged_decode_attention(
         )
     elif use_sp:
         # single-pass kernel: pages read straight from the HBM pool
+        app_r = None
+        if append_kv is not None:
+            # dense list position == logical page
+            app_r = (
+                k_all_new[:, src_r], v_all_new[:, src_r],
+                tgt_logic, tgt_slot,
+            )
         out_r = sp.paged_mqa_attention_single_pass(
             q_r, pool, layer, sel_phys, sel_logic,
             context_lens.astype(jnp.int32),
             sm_scale=sm_scale, page_size=page_size, kv_zeros=kv_zeros,
-            pt_scales=pt_of(pool), interpret=interpret,
+            pt_scales=pt_of(pool), append=app_r, interpret=interpret,
         )
+        if app_r is not None:
+            out_r, pool = out_r
     else:
         g_r = _choose_chunk(sel_logic.shape[-1], page_size=page_size)
         sel_phys, sel_logic = _pad_sel(sel_phys, sel_logic, quantum=g_r)
@@ -640,7 +667,10 @@ def paged_decode_attention(
             kv_zeros=kv_zeros, pt_scales=pt_of(pool), interpret=interpret,
         )                                             # [B, Hr, n_rep, D]
     if pure_dense:
-        return out_r.reshape(b, hq, d)
+        out_flat = out_r.reshape(b, hq, d)
+        if append_kv is not None:
+            return out_flat, pool, None
+        return out_flat
 
     # scatter pool rows back to kv-head positions
     rank_c = jnp.clip(head_rank, 0, hr - 1)
@@ -650,7 +680,10 @@ def paged_decode_attention(
     )                                                 # [B, Hkv, n_rep, D]
 
     if streaming_pool is None:
-        return out_full_r.reshape(b, hq, d)
+        out_flat = out_full_r.reshape(b, hq, d)
+        if append_kv is not None:
+            return out_flat, pool, None
+        return out_flat
 
     # -- streaming ring pool call --
     # Ring slots are resolved to their LOGICAL block ids so positions are
@@ -696,6 +729,19 @@ def paged_decode_attention(
     )
     sel_phys_s = jnp.where(sel_logic_s >= 0, sel_phys_s, 0)
     if use_sp:
+        app_s = None
+        if append_kv is not None:
+            # newest page's position in [sinks..., newest ring blocks...]:
+            # within the sinks it is cb itself, else the first ring entry
+            tgt_pos_s = jnp.where(
+                context_lens > 0,
+                jnp.where(tgt_logic < sink_blocks, tgt_logic, sink_eff),
+                -1,
+            ).astype(jnp.int32)
+            app_s = (
+                k_all_new[:, src_s], v_all_new[:, src_s],
+                tgt_pos_s, tgt_slot,
+            )
         out_s = sp.paged_mqa_attention_single_pass(
             q_s, streaming_pool, layer, sel_phys_s, sel_logic_s,
             context_lens.astype(jnp.int32),
@@ -705,8 +751,11 @@ def paged_decode_attention(
             band_local_tokens=int(dec_local_tokens),
             ring_span_pages=ring_local,
             ring_sink_tokens=sink_blocks * page_size,
+            append=app_s,
             interpret=interpret,
         )
+        if app_s is not None:
+            out_s, streaming_pool = out_s
     else:
         g_s = _choose_chunk(sel_logic_s.shape[-1], page_size=page_size)
         sel_phys_s, sel_logic_s = _pad_sel(
@@ -734,4 +783,7 @@ def paged_decode_attention(
     out = jnp.where(
         head_is_retrieval[None, :, None, None], out_full_r, out_full_s
     )
-    return out.reshape(b, hq, d)
+    out_flat = out.reshape(b, hq, d)
+    if append_kv is not None:
+        return out_flat, pool, streaming_pool
+    return out_flat

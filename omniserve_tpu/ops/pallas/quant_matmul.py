@@ -73,6 +73,18 @@ def _pick_bm(m: int) -> int:
     return min(_round_up(m, 32), 256)
 
 
+# Measured best (bn, bk2) per weight shape at decode M (Llama-3-8B, one
+# v5e-class chip; scripts/microbench_gemm.py — e.g. gate_up 123 -> 91
+# us/layer vs the old 1024x1024). Shapes not listed use the default, and
+# anything here still passes through _pick_tile for divisibility. The
+# reference ships the same idea as 3 M-keyed CUDA tile configs
+# (kernels/csrc/qgemm/w4a8_per_chn/gemm_cuda.cu:623-655).
+_TILE_TABLE = {
+    (2048, 28672): (2048, 2048),   # gate_up
+    (7168, 4096): (2048, 1024),    # down
+}
+
+
 def _pick_tile(dim: int, cap: int, quantum: int):
     """Largest multiple of ``quantum`` <= cap that divides ``dim`` (or None)."""
     t = min(cap, dim)
@@ -159,6 +171,8 @@ def w4a8_matmul_per_channel(
     k2, n = qweight.shape[-2:]
     assert k == 2 * k2, (a_i8.shape, qweight.shape)
     bm = _pick_bm(m)
+    if m <= 256 and (k2, n) in _TILE_TABLE:
+        bn, bk2 = _TILE_TABLE[(k2, n)]
     bk2 = _pick_tile(k2, bk2, 128) or _pick_tile(k2, bk2, 64)
     bn = _pick_tile(n, bn, 128)
     assert bk2 and bn, (k2, n)

@@ -664,7 +664,7 @@ class ModelRunner:
         return jax.jit(run, donate_argnums=(1, 2))
 
     # -- chunked prefill -----------------------------------------------------
-    def _execute_chunked_prefill(self, metadata, budget: int):
+    def _execute_chunked_prefill(self, metadata, budget: int, starts=None):
         """Prefill long/packed prompts in rectangular [B, Tc] chunks.
 
         Each chunk appends its KV to the pool, then attends causally over
@@ -673,6 +673,13 @@ class ModelRunner:
         (llama_w4a8_unpad.py:89-112) but for the WHOLE layer stack, which
         also caps the compiled prefill program size. Dense-attention mode
         only (sparse prefill keeps the in-register flash path).
+
+        ``starts`` (per scheduled seq, in metadata order) skips tokens
+        below each start: their KV is already in the pool via a COMPUTED
+        shared prefix (core/prefix.Prefix) — prefill covers only the
+        suffix, attending the prefix through the paged history. The
+        reference never finishes this (its model_runner.py:267 assumes
+        prefix None); here it is live.
         """
         ce = self.cache_engine
         seqs = []
@@ -684,6 +691,8 @@ class ModelRunner:
                     group.block_tables[seq_id],
                     (group.streaming_block_tables or {}).get(seq_id, []),
                 ))
+        if starts is None:
+            starts = [0] * len(seqs)
         bsz = len(seqs)
         b_pad = next_pow2(bsz, minimum=1)
         page = self.spec.page_size
@@ -693,7 +702,9 @@ class ModelRunner:
             ring_tok = self.spec.local_blocks * page
             tc = min(tc, max(page, (ring_tok - self.spec.ctx_local)
                              // page * page))
-        max_len = max(len(x[1]) for x in seqs)
+        max_len = max(
+            len(x[1]) - s for x, s in zip(seqs, starts)
+        )
         n_chunks = -(-max_len // tc)
         w = next_pow2(max(len(x[2]) for x in seqs), minimum=4)
         bt = np.zeros((b_pad, w), np.int32)
@@ -719,7 +730,7 @@ class ModelRunner:
             ends = np.zeros(b_pad, bool)
             new_pages: List[int] = []
             for i, (seq_id, ids, tbl, _stbl) in enumerate(seqs):
-                lo = ci * tc
+                lo = starts[i] + ci * tc
                 hi = min(len(ids), lo + tc)
                 if hi <= lo:
                     ctx[i] = len(ids)
@@ -760,6 +771,28 @@ class ModelRunner:
                                      jnp.asarray(ends))
         return final_logits, [x[0] for x in seqs], bsz
 
+    @staticmethod
+    def _prefix_starts(metadata):
+        """Per-seq prefill start offsets from COMPUTED shared prefixes.
+
+        Returns None when no scheduled sequence can skip anything. A seq
+        whose whole prompt is the prefix still prefills its last token
+        (its logits seed decoding)."""
+        starts, any_skip = [], False
+        for group in metadata:
+            p = getattr(group, "prefix", None)
+            usable = (
+                p is not None and p.computed and p.allocated
+                and not p.evicted
+            )
+            for _, data in group.seq_data.items():
+                s = 0
+                if usable:
+                    s = min(p.length, len(data.get_token_ids()) - 1)
+                starts.append(max(0, s))
+                any_skip = any_skip or s > 0
+        return starts if any_skip else None
+
     # -- execution -------------------------------------------------------------
     def execute_model(
         self, metadata: List[SequenceGroupMetadata]
@@ -784,7 +817,16 @@ class ModelRunner:
                 self.spec.local_blocks * self.spec.page_size
                 >= self.spec.ctx_local + self.spec.page_size
             )
-            if total_tokens > chunk_budget and ring_ok:
+            starts = self._prefix_starts(metadata)
+            if starts is not None and ce.streaming_pool is None:
+                # shared-prefix KV already computed: suffix-only prefill
+                # through the paged (chunked) path. Dense pool only — a
+                # streaming ring's sink/local window is per-sequence state
+                # the skipped tokens would never populate.
+                logits, seq_ids, n_seqs = self._execute_chunked_prefill(
+                    metadata, chunk_budget, starts=starts
+                )
+            elif total_tokens > chunk_budget and ring_ok:
                 logits, seq_ids, n_seqs = self._execute_chunked_prefill(
                     metadata, chunk_budget
                 )

@@ -91,21 +91,25 @@ COMMON = dict(
 )
 
 
+def write_family(name: str, out_dir: str) -> str:
+    """Write one family's config stub; returns the model dir."""
+    cfg = dict(COMMON)
+    cfg.update(FAMILIES[name])
+    d = os.path.join(out_dir, name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, sort_keys=True)
+    return d
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/omniserve_bench_cfgs")
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of family keys")
     args = ap.parse_args()
-    names = args.only or list(FAMILIES)
-    for name in names:
-        cfg = dict(COMMON)
-        cfg.update(FAMILIES[name])
-        d = os.path.join(args.out_dir, name)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "config.json"), "w") as f:
-            json.dump(cfg, f, indent=2, sort_keys=True)
-        print(d)
+    for name in args.only or list(FAMILIES):
+        print(write_family(name, args.out_dir))
 
 
 if __name__ == "__main__":

@@ -781,6 +781,133 @@ def v_stream(q, kp, vp, sc, sel, lens):
 
 
 # ---------------------------------------------------------------------------
+# v_scdma: v_batch4d math + per-page scale DMAs into a CONTIGUOUS
+# [2, G, 4, H, T] buffer (src [P, 4, H, T] rows are contiguous per page),
+# planes brought to [H, 1, G, T] broadcast shape by an in-kernel sublane
+# transpose. Candidate replacement for the production strided-dst DMA.
+# ---------------------------------------------------------------------------
+
+def _scdma_kernel(sel_ref, len_ref, q_ref, k_hbm, v_hbm, sc_hbm, o_ref,
+                  k_buf, v_buf, sc_buf, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def issue(bb, sl):
+        bbc = jnp.minimum(bb, nb - 1)
+
+        @pl.when(bb < nb)
+        def _():
+            for i in range(G):
+                idx = sel_ref[bbc, i]
+                pltpu.make_async_copy(
+                    k_hbm.at[idx], k_buf.at[sl, :, pl.ds(i * ROWS, ROWS), :],
+                    sem.at[sl, i, 0]).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[idx], v_buf.at[sl, :, pl.ds(i * ROWS, ROWS), :],
+                    sem.at[sl, i, 1]).start()
+                pltpu.make_async_copy(
+                    sc_hbm.at[idx], sc_buf.at[sl, i],
+                    sem.at[sl, i, 2]).start()
+
+    @pl.when(b == 0)
+    def _():
+        issue(b, slot)
+    issue(b + 1, 1 - slot)
+    for i in range(G):
+        idx = sel_ref[b, i]
+        pltpu.make_async_copy(
+            k_hbm.at[idx], k_buf.at[slot, :, pl.ds(i * ROWS, ROWS), :],
+            sem.at[slot, i, 0]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[idx], v_buf.at[slot, :, pl.ds(i * ROWS, ROWS), :],
+            sem.at[slot, i, 1]).wait()
+        pltpu.make_async_copy(
+            sc_hbm.at[idx], sc_buf.at[slot, i],
+            sem.at[slot, i, 2]).wait()
+
+    length = len_ref[b]
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 2) * PAGE
+           + jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 3))
+    valid = pos < length
+
+    def nib_tokens(buf):
+        flat = buf[slot]
+        w32 = pltpu.bitcast(flat.reshape(H * G * ROWS, D), jnp.int32)
+        streams = []
+        for sh in _NIBBLE_SHIFTS:
+            w = w32 if sh == 0 else (w32 >> sh)
+            streams.append(pltpu.bitcast(
+                (w & 0x000F000F) | _MAGIC, jnp.bfloat16
+            ).reshape(H, G, BK, D))
+        return jnp.concatenate(streams, axis=2).reshape(H * LANES, D)
+
+    k_tok = nib_tokens(k_buf)
+    v_tok = nib_tokens(v_buf)
+    q_bf = q_ref[0].astype(jnp.bfloat16)
+    qk4 = jnp.stack([
+        jax.lax.dot_general(
+            q_bf[h], k_tok[h * LANES:(h + 1) * LANES],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for h in range(H)], axis=0).reshape(H, REP, G, PAGE)
+    q_sum = jnp.sum(
+        q_bf.astype(jnp.float32), axis=2, keepdims=True)[:, :, :, None]
+
+    def plane(k):
+        # [G, H, T] -> [H, 1, G, T]
+        return jnp.transpose(sc_buf[slot, :, k], (1, 0, 2))[:, None]
+
+    s0 = plane(0)
+    s1 = plane(1)
+    qk = (qk4 * s0 - s1 * q_sum) * SM
+    qk = jnp.where(valid, qk, MASK_VALUE)
+    m = jnp.max(jnp.max(qk, axis=3, keepdims=True), axis=2, keepdims=True)
+    pexp = jnp.where(valid, jnp.exp(qk - m), 0.0)
+    l = jnp.sum(jnp.sum(pexp, axis=3, keepdims=True), axis=2,
+                keepdims=True)[:, :, 0]
+    p4 = (pexp * plane(2)).astype(jnp.bfloat16)
+    corr = jnp.sum(jnp.sum(
+        p4.astype(jnp.float32) * plane(3), axis=3, keepdims=True), axis=2,
+        keepdims=True)[:, :, 0]
+    p3 = p4.reshape(H, REP, LANES)
+    scale = 1.0 / jnp.maximum(l, 1e-10)
+    for h in range(H):
+        pv = jax.lax.dot_general(
+            p3[h], v_tok[h * LANES:(h + 1) * LANES],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, h] = (pv - corr[h]) * scale[h]
+
+
+def v_scdma(q, kp, vp, sc, sel, lens):
+    # sc: pool layout [P, 4, H, PAGE] f32
+    return pl.pallas_call(
+        _scdma_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, H, G * ROWS, D), jnp.uint8),
+                pltpu.VMEM((2, H, G * ROWS, D), jnp.uint8),
+                pltpu.VMEM((2, G, 4, H, PAGE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, G, 3)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, REP, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(sel, lens, q, kp, vp, sc)
+
+
+# ---------------------------------------------------------------------------
 # v_fused: ONE page record [P, 2*H*ROWS + SC_ROWS, D] u8 holding K rows,
 # V rows and the folded scale planes (bitcast f32) — ONE DMA per page.
 # Tests whether cutting DMA issue/wait count (27 -> 9 per grid step) and
@@ -928,7 +1055,7 @@ def _fused_dma_kernel(sel_ref, len_ref, q_ref, pg_hbm, o_ref, buf, sem):
             pg_hbm.at[sel_ref[b, i]], buf.at[slot, i], sem.at[slot, i],
         ).wait()
     kw = pltpu.bitcast(
-        buf[slot, 0, :H * REP, :], jnp.int32)
+        buf[slot, 0, :4 * H * REP, :], jnp.int32)   # u8 rows -> i32 /4
     o_ref[0] = kw.astype(jnp.float32).reshape(H, REP, D)
 
 
@@ -988,6 +1115,7 @@ def main():
 
     variants = {
         "v_dma": (v_dma, sc_pool),
+        "v_scdma": (v_scdma, sc_pool.reshape(n_pages, H, 4, PAGE).transpose(0, 2, 1, 3).copy()),
         "v_fused": (v_fused, fused_pool),
         "v_fused_dma": (v_fused_dma, fused_pool),
         "v_cur": (v_cur, sc_g),

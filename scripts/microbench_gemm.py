@@ -25,8 +25,8 @@ SHAPES = {          # (K, N) of the four decode GEMMs, Llama-3-8B
     "down": (14336, 4096),
 }
 TILES = [(512, 512), (1024, 512), (512, 1024), (1024, 1024),
-         (2048, 1024), (1024, 2048), (2048, 2048), (4096, 1024),
-         (1024, 4096), (2048, 4096), (4096, 2048)]
+         (2048, 512), (512, 2048), (2048, 1024), (1024, 2048),
+         (2048, 2048)]
 
 
 def main() -> None:
@@ -49,10 +49,17 @@ def main() -> None:
             @jax.jit
             def chained(a, qw, s1, sz, asc, asum, bn=bn, bk2=bk2):
                 out = jnp.zeros((M, n), jnp.bfloat16)
+                a_it = a
                 for _ in range(r):
+                    # real data dependency a[0,0] += out[0,0]: XLA cannot
+                    # CSE the chain (a `* 0` dep constant-folds and the
+                    # whole loop collapses to one matmul)
+                    a_it = jax.lax.dynamic_update_slice(
+                        a_it, a_it[:1, :1] + out[:1, :1].astype(jnp.int8),
+                        (0, 0),
+                    )
                     out = w4a8_matmul_per_channel(
-                        a + out[:, :1].astype(jnp.int8) * 0, qw, s1, sz,
-                        asc, asum, bn=bn, bk2=bk2,
+                        a_it, qw, s1, sz, asc, asum, bn=bn, bk2=bk2,
                     )
                 return out
 

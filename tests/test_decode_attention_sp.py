@@ -80,6 +80,83 @@ def test_single_pass_matches_reference(page, kv_zeros, kv_bits, n_rep):
     )
 
 
+@pytest.mark.parametrize("kv_bits", [4, 8])
+@pytest.mark.parametrize("kv_zeros", [True, False])
+def test_fused_append_matches_append_then_attend(kv_bits, kv_zeros):
+    """append=(k,v,pos,slot) must equal append_kv + attention on the
+    updated pool, and leave the pool in the same state."""
+    page, h, d, n_rep = 128, 2, 128, 2
+    lengths_old = [page * 2 + 17, page - 1, 3 * page]  # mid / page-cross / new page
+    b = len(lengths_old)
+    max_blocks = 4
+    n_pages = b * max_blocks + 1
+    tables = np.arange(b * max_blocks, dtype=np.int32).reshape(b, max_blocks)
+    pool, _, _ = build_pool(page, n_pages, h, d, lengths_old, tables,
+                            kv_zeros, kv_bits=kv_bits)
+    layer = 1
+    sm = 1.0 / np.sqrt(d)
+    q = rng.normal(size=(b, h * n_rep, d)).astype(np.float32)
+    k_new = rng.normal(size=(b, h, d)).astype(np.float32)
+    v_new = rng.normal(size=(b, h, d)).astype(np.float32)
+
+    lengths_new = np.asarray(lengths_old, np.int32) + 1
+    pos_new = lengths_new - 1
+    tgt_logic = pos_new // page
+    tgt_slot = pos_new % page
+    tgt_phys = tables[np.arange(b), tgt_logic]
+
+    # reference: append each token, then attend the updated pool
+    pool_ref = pool
+    from omniserve_tpu.ops.paged_kv import append_kv as _append
+    pool_ref = _append(
+        pool_ref, layer, jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(tgt_phys), jnp.asarray(tgt_slot),
+        page_size=page, kv_bits=kv_bits, kv_zeros=kv_zeros,
+    )
+    want = attention_ref.paged_decode_attention(
+        jnp.asarray(q), pool_ref, layer, jnp.asarray(tables),
+        jnp.asarray(lengths_new), sm, page, kv_bits, kv_zeros,
+    )
+
+    n_pg = (lengths_new + page - 1) // page
+    tile = np.arange(max_blocks)
+    sel_logic = np.where(tile[None, :] < n_pg[:, None], tile[None, :], -1)
+    sel_phys = np.where(sel_logic >= 0, tables, 0)
+    got, pool_out = sp.paged_mqa_attention_single_pass(
+        jnp.asarray(q).reshape(b, h, n_rep, d), pool, layer,
+        jnp.asarray(sel_phys), jnp.asarray(sel_logic),
+        jnp.asarray(lengths_new),
+        sm_scale=sm, page_size=page, kv_zeros=kv_zeros,
+        pt_scales=(
+            None if kv_zeros
+            else (pool.k_scale_per_tensor[layer],
+                  pool.v_scale_per_tensor[layer])
+        ),
+        append=(
+            jnp.asarray(k_new), jnp.asarray(v_new),
+            jnp.asarray(tgt_logic, np.int32),
+            jnp.asarray(tgt_slot, np.int32),
+        ),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.reshape(b, h * n_rep, d)), np.asarray(want),
+        rtol=5e-2, atol=5e-2,
+    )
+    # pool state must match the separate-append pool exactly
+    np.testing.assert_array_equal(
+        np.asarray(pool_out.k_data), np.asarray(pool_ref.k_data)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pool_out.v_data), np.asarray(pool_ref.v_data)
+    )
+    if kv_zeros:
+        np.testing.assert_allclose(
+            np.asarray(pool_out.kv_scales),
+            np.asarray(pool_ref.kv_scales), rtol=1e-5, atol=1e-6,
+        )
+
+
 def test_supports_matrix():
     assert sp.supports(4, 128, 128)
     assert sp.supports(8, 128, 128)

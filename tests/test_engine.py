@@ -332,6 +332,65 @@ def test_static_mode_cow_matches_ifb(tiny_model_dir):
     assert run(True) == run(False)
 
 
+def test_prefix_reuse_skips_computed_prefill(tiny_model_dir, monkeypatch):
+    """A second request sharing a COMPUTED 2-page prefix must prefill only
+    its suffix tokens (VERDICT r2 #6: pages were shared but compute always
+    re-ran) and still decode the same greedy tokens as a fresh request."""
+    from omniserve_tpu.worker.model_runner import ModelRunner
+
+    page = 16  # tiny_model page size (make_engine config)
+    prefix = [(i * 7 + 3) % 50 for i in range(2 * page)]
+    suffix_a = [5, 9, 2, 6]
+    suffix_b = [8, 1, 1, 7, 4]
+
+    seen_starts = []
+    orig = ModelRunner._execute_chunked_prefill
+
+    def spy(self, metadata, budget, starts=None):
+        seen_starts.append(starts)
+        return orig(self, metadata, budget, starts=starts)
+
+    monkeypatch.setattr(ModelRunner, "_execute_chunked_prefill", spy)
+
+    def run_fresh(suffix):
+        eng = make_engine(tiny_model_dir)
+        eng.add_request(
+            "f", prompt_token_ids=prefix + suffix,
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=6, ignore_eos=True),
+        )
+        out = None
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                if o.finished:
+                    out = o.outputs[0].token_ids
+        return out
+
+    want_a = run_fresh(suffix_a)
+    want_b = run_fresh(suffix_b)
+
+    engine = make_engine(tiny_model_dir)
+    got = {}
+    for rid, suffix in (("r0", suffix_a), ("r1", suffix_b)):
+        engine.add_request(
+            rid, prompt_token_ids=prefix + suffix,
+            prefix_pos=len(prefix),
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=6, ignore_eos=True),
+        )
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    got[o.request_id] = o.outputs[0].token_ids
+    assert got["r0"] == want_a
+    assert got["r1"] == want_b
+    # r1's prefill skipped the prefix: the runner saw a non-zero start
+    assert any(
+        s is not None and any(v == len(prefix) for v in s)
+        for s in seen_starts
+    ), f"suffix-only prefill never ran (starts seen: {seen_starts})"
+
+
 def test_static_mode_routes_cow_to_device(tiny_model_dir, monkeypatch):
     """A forked (best_of=2) group shares its unaligned last prompt page;
     the first decode append must copy-on-write and static mode must route
