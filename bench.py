@@ -28,7 +28,10 @@ def engine_bench() -> None:
     from qserve_benchmark import run_round
 
     small = os.environ.get("BENCH_SMALL", "0") == "1"
-    batch = int(os.environ.get("GLOBAL_BATCH_SIZE", "16" if small else "160"))
+    # batch 128 is the largest that fits the FULL 1536-token KV pool next
+    # to the weights on one 16 GB chip (batch 160 needs 9.3 GB of pool +
+    # 5.1 GB of params + prefill temps > 15.75 GB)
+    batch = int(os.environ.get("GLOBAL_BATCH_SIZE", "16" if small else "128"))
     prompt_len = int(
         os.environ.get("GLOBAL_PROMPT_LEN", "128" if small else "1024")
     )
@@ -74,6 +77,9 @@ def engine_bench() -> None:
         ifb_mode=False,
         benchmarking_mode=True,
         disable_log_stats=True,   # keep stdout to the one JSON line
+        # bound prefill activations: a 32k-token chunk's gate_up output is
+        # 1.75 GB bf16, which OOMs next to the KV pool on a 16 GB chip
+        chunk_prefill_size=int(os.environ.get("BENCH_CHUNK", "8192")),
         decode_multi_step=multi_step,
         max_num_seqs=batch,
         max_num_batched_tokens=max(262144, batch * prompt_len),

@@ -19,6 +19,10 @@ def main() -> None:
     parser.add_argument("--vocab", type=int, default=2048)
     parser.add_argument("--layers", type=int, default=2)
     parser.add_argument("--hidden", type=int, default=128)
+    parser.add_argument("--intermediate", type=int, default=0,
+                        help="MLP width (default 2*hidden)")
+    parser.add_argument("--heads", type=int, default=8)
+    parser.add_argument("--kv-heads", type=int, default=4)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -49,14 +53,16 @@ def main() -> None:
     torch.manual_seed(args.seed)
     model = LlamaForCausalLM(LlamaConfig(
         hidden_size=args.hidden,
-        intermediate_size=args.hidden * 2,
-        num_attention_heads=8,
-        num_key_value_heads=4,
+        intermediate_size=args.intermediate or args.hidden * 2,
+        num_attention_heads=args.heads,
+        num_key_value_heads=args.kv_heads,
         num_hidden_layers=args.layers,
         vocab_size=args.vocab,
         max_position_embeddings=131072,
         rope_theta=500000.0,
     ))
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"parameters: {n_params / 1e6:.1f}M")
     model.save_pretrained(args.output)
     print(f"tiny model + tokenizer (vocab {args.vocab}) -> {args.output}")
 
