@@ -71,6 +71,27 @@ def init_distributed(
     return True
 
 
+def enable_latency_hiding_scheduler() -> None:
+    """XLA latency-hiding scheduler + async collective fusion for TP.
+
+    The TP forward's psums (after o_proj/down_proj row-parallel GEMMs)
+    only overlap the next layer's compute when XLA schedules them as
+    async pairs; these flags enable that on TPU (the reference leans on
+    NCCL stream overlap instead). Appends to XLA_FLAGS, so it must run
+    before the first compile; idempotent, and user-set values win.
+    """
+    wanted = (
+        "--xla_tpu_enable_latency_hiding_scheduler=true",
+        "--xla_tpu_enable_async_collective_fusion=true",
+        "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+        "--xla_tpu_overlap_compute_collective_tc=true",
+    )
+    cur = os.environ.get("XLA_FLAGS", "")
+    missing = [f for f in wanted if f.split("=")[0] not in cur]
+    if missing:
+        os.environ["XLA_FLAGS"] = " ".join([cur, *missing]).strip()
+
+
 def build_mesh(parallel_config: ParallelConfig, devices=None) -> Mesh:
     dp = parallel_config.data_parallel_size
     sp = parallel_config.sequence_parallel_size
