@@ -85,11 +85,18 @@ def _prefill_kernel(
 
     logic_vals = [sel_logic_ref[b, j * g + i] for i in range(g)]
 
+    # kv4 fast path: packed-domain magic unpack emits lanes in TRUE token
+    # order (the interleaved pool layout makes the four nibble streams
+    # token blocks in order — see pallas/decode_attention.py). Needs the
+    # same 128-alignment as the decode kernel; small pages keep the
+    # astype unpack + lane relabel.
+    kv4_magic = kv_bits == 4 and page_size % 128 == 0
+
     # kv-token positions of this chunk's lanes (page-major)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
     page_of = lane // page_size
     within = lane % page_size
-    if kv_bits == 4:
+    if kv_bits == 4 and not kv4_magic:
         # interleaved kv4: unpack lane q holds token kv4_unpack_order(q)
         rr = page_size // 2
         bk = page_size // 4
@@ -149,19 +156,36 @@ def _prefill_kernel(
 
             def raw_block(ref):
                 raw = ref[0, :, h]                    # [G, rows_pg, D]
+                rows_pg = raw.shape[-2]
+                d_ = raw.shape[-1]
                 if kv_bits == 16:
-                    return raw.reshape(
-                        g * raw.shape[-2], raw.shape[-1]
-                    ).astype(jnp.bfloat16)
+                    return raw.reshape(g * rows_pg, d_).astype(jnp.bfloat16)
+                if kv4_magic:
+                    # packed-domain magic unpack (decode_attention.py):
+                    # bf16 lanes = 128 + nibble with ZERO per-element type
+                    # conversions; streams land in TRUE token order thanks
+                    # to the interleaved pool layout
+                    bk = page_size // 4
+                    w32 = pltpu.bitcast(
+                        raw.reshape(g * rows_pg, d_), jnp.int32
+                    )
+                    streams = []
+                    for sh in (0, 8, 4, 12):
+                        w = w32 if sh == 0 else (w32 >> sh)
+                        streams.append(pltpu.bitcast(
+                            (w & 0x000F000F) | 0x43004300, jnp.bfloat16
+                        ).reshape(g, bk, d_))
+                    return jnp.concatenate(streams, axis=1).reshape(
+                        g * page_size, d_
+                    )
                 raw_i = raw.astype(jnp.int32)
                 if kv_bits == 4:
                     lo = (raw_i & 0xF).astype(jnp.bfloat16)
                     hi = (raw_i >> 4).astype(jnp.bfloat16)
-                    cat = jnp.concatenate([lo, hi], axis=1)
-                    return cat.reshape(g * page_size, -1)
-                return raw_i.reshape(
-                    g * raw.shape[-2], raw.shape[-1]
-                ).astype(jnp.bfloat16)
+                    return jnp.concatenate([lo, hi], axis=1).reshape(
+                        g * page_size, -1
+                    )
+                return raw_i.reshape(g * rows_pg, d_).astype(jnp.bfloat16)
 
             def scales(plane):
                 # [1, H, 4, G*page]: chunk j selected by the BlockSpec
@@ -176,13 +200,18 @@ def _prefill_kernel(
             if kv_bits == 16:
                 qk = qk_int * sm_scale
             elif kv_zeros:
-                # planes stored folded: plane1 = sc*(z+128) (paged_kv)
+                # planes stored folded: plane1 = sc*(z+128) (paged_kv) —
+                # which is EXACTLY the rank-1 correction the kv4 magic
+                # bias (values 128+nib) needs; kv8 values carry no bias
                 sc = scales(0)
-                sz = scales(1) - 128.0 * sc
+                sz = scales(1) if kv4_magic else scales(1) - 128.0 * sc
                 q_sum = jnp.sum(q, axis=1, keepdims=True)
                 qk = (qk_int * sc - sz * q_sum) * sm_scale
             else:
-                bias = 8.0 if kv_bits == 4 else 128.0
+                # per-tensor kv4 stores q+8 -> 136+q under the magic
+                # bias; plain-nibble kv4 is q+8; kv8 is q+128
+                bias = (136.0 if kv4_magic else 8.0) if kv_bits == 4 \
+                    else 128.0
                 q_sum = jnp.sum(q, axis=1, keepdims=True)
                 qk = (qk_int - bias * q_sum) * (pt_ref[0] * sm_scale)
             qk = jnp.where(mask, qk, MASK_VALUE)
@@ -204,14 +233,17 @@ def _prefill_kernel(
                 p_bf, corr, v_scale = p.astype(jnp.bfloat16), 0.0, 1.0
             elif kv_zeros:
                 vs = scales(2)
-                vz = scales(3) - 128.0      # plane3 stored as v_zero+128
+                # plane3 = v_zero+128 = the kv4 magic-bias correction
+                # verbatim; kv8 values carry no bias -> plain zero
+                vz = scales(3) if kv4_magic else scales(3) - 128.0
                 p_bf = (p * vs).astype(jnp.bfloat16)
                 corr = jnp.sum(
                     p_bf.astype(jnp.float32) * vz, axis=1, keepdims=True
                 )
                 v_scale = 1.0
             else:
-                bias = 8.0 if kv_bits == 4 else 128.0
+                bias = (136.0 if kv4_magic else 8.0) if kv_bits == 4 \
+                    else 128.0
                 p_bf = p.astype(jnp.bfloat16)
                 corr = bias * jnp.sum(
                     p_bf.astype(jnp.float32), axis=1, keepdims=True
@@ -311,13 +343,14 @@ def paged_prefill_attention(
     fine = kv_bits < 16 and kv_zeros
 
     def flatten_scale(s):
-        # page-major lane order, same as the decode kernel's layout
+        # page-major lane order: TRUE token order under the kv4 magic
+        # unpack; the small-page astype path keeps the unpack-lane order
         if s is None:
             return None
         bb, tt, hh, pg4 = s.shape
         pg = pg4 // 4
         s = s.reshape(bb, tt, hh, 4, pg)
-        if kv_bits == 4:
+        if kv_bits == 4 and page_size % 128 != 0:
             from omniserve_tpu.ops.paged_kv import kv4_unpack_order
 
             s = jnp.take(s, jnp.asarray(kv4_unpack_order(pg)), axis=-1)
