@@ -12,6 +12,9 @@ import gzip
 import json
 import os
 import sys
+
+sys.path.insert(0, __import__("os").path.join(
+    __import__("os").path.dirname(__file__), ".."))
 from collections import defaultdict
 
 import jax

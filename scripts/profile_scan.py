@@ -17,6 +17,9 @@ import gzip
 import json
 import os
 import sys
+
+sys.path.insert(0, __import__("os").path.join(
+    __import__("os").path.dirname(__file__), ".."))
 import time
 from collections import defaultdict
 
