@@ -11,9 +11,10 @@ Baseline: QServe on A100-80G, Llama-3-8B W4A8KV4, batch 256, 1024 in /
 
 Env knobs: GLOBAL_BATCH_SIZE (160), GLOBAL_PROMPT_LEN (1024),
 GLOBAL_GENERATE_LEN (512), BENCH_MULTI_STEP (32, tokens per jitted decode
-window), BENCH_ROUNDS (3), BENCH_SMALL=1 (tiny-model smoke mode),
-BENCH_RAW=1 (raw jitted forward loop instead of the engine — kernel probe,
-round-2 behaviour).
+window), BENCH_ROUNDS (4; round 1 is compile warmup and is DISCARDED —
+the headline is the median of the measured rounds), BENCH_SMALL=1
+(tiny-model smoke mode), BENCH_RAW=1 (raw jitted forward loop instead of
+the engine — kernel probe, round-2 behaviour).
 """
 
 import json
@@ -38,7 +39,7 @@ def engine_bench() -> None:
     gen_len = int(
         os.environ.get("GLOBAL_GENERATE_LEN", "32" if small else "512")
     )
-    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
     multi_step = int(os.environ.get("BENCH_MULTI_STEP", "32"))
 
     if small:
@@ -92,22 +93,29 @@ def engine_bench() -> None:
     for _ in range(rounds):
         results.append(run_round(engine, batch, prompt_len, gen_len))
     t_total = time.time() - t0
-    best = max(results)
+    # round 1 is compile warmup: discard it, headline = MEDIAN of the
+    # measured rounds (round-3 verdict: best-of-N overstates)
+    import statistics
+
+    measured = results[1:] if len(results) > 1 else results
+    headline = statistics.median(measured)
     result = {
         "metric": "llama3_8b_w4a8kv4_engine_throughput"
         + ("_small" if small else ""),
-        "value": round(best, 1),
+        "value": round(headline, 1),
         "unit": "tok/s/chip",
-        "vs_baseline": round(best / A100_BASELINE_TOKS, 3),
+        "vs_baseline": round(headline / A100_BASELINE_TOKS, 3),
         "batch": batch,
         "prompt_len": prompt_len,
         "gen_len": gen_len,
         "rounds": [round(r, 1) for r in results],
+        "best": round(max(results), 1),
+        "headline_stat": "median of rounds[1:] (round 1 = warmup)",
         "multi_step": multi_step,
         "backend": __import__("jax").default_backend(),
         "build_s": round(t_build, 1),
         "bench_s": round(t_total, 1),
-        "step_ms": round(batch * 1000.0 / best, 2),
+        "step_ms": round(batch * 1000.0 / headline, 2),
         "protocol": "engine qserve_benchmark (1024in/512out static batch)",
     }
     print(json.dumps(result))

@@ -37,13 +37,27 @@ def main() -> None:
                         help="sample index whose prompt to dump "
                         "(reference pred_test.py:73 hardcodes 61)")
     parser.add_argument("--max-prompt-len", type=int, default=None)
-    parser.add_argument("--max-model-len", type=int, default=32768)
+    parser.add_argument("--max-model-len", type=int, default=None,
+                        help="MUST match the eval run's engine "
+                        "max_model_len or the dumped prompt differs from "
+                        "what the model saw; default reads the model's "
+                        "config.json (max_position_embeddings), falling "
+                        "back to 32768")
     parser.add_argument("--out", type=str, default="prompt.txt")
     parser.add_argument("--data-dir", type=str, default=None,
                         help="load {task}.jsonl locally (offline runs)")
     args = parser.parse_args()
 
     tokenizer = get_tokenizer(args.tokenizer or args.model)
+    if args.max_model_len is None:
+        args.max_model_len = 32768
+        cfg_path = os.path.join(args.model, "config.json")
+        if os.path.isfile(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            args.max_model_len = int(
+                cfg.get("max_position_embeddings", args.max_model_len)
+            )
     max_gen_all = max(MAX_GEN.values())
     if args.max_prompt_len is None:
         args.max_prompt_len = args.max_model_len - max_gen_all - 8
@@ -68,6 +82,12 @@ def main() -> None:
             return
         print(f"{name}: index {args.index} out of range "
               f"({sum(1 for _ in data)} samples); trying next dataset")
+    # no prompt dumped: fail loudly so scripted callers don't read a
+    # stale prompt.txt from an earlier run
+    raise SystemExit(
+        f"--index {args.index} out of range for every dataset; "
+        f"nothing written to {args.out}"
+    )
 
 
 if __name__ == "__main__":

@@ -50,6 +50,7 @@ from omniserve_tpu.ops.paged_kv import KVPool
 MASK_VALUE = -1e37
 _MAGIC = 0x43004300          # bf16 0x4300 = 128.0; |nibble -> 128 + v
 _NIBBLE_SHIFTS = (0, 8, 4, 12)  # token blocks 0..3 (see module docstring)
+DMA_GROUP = 2                # pages per predicated DMA group (see issue())
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -175,21 +176,22 @@ def _sp_kernel(
             ))
         return cps
 
+    # Page-GROUP predicated copies: page lists fill front-to-back, so a
+    # group whose FIRST page is padding is entirely padding (exactness:
+    # at most DMA_GROUP-1 pad pages leak per sequence). Round 3 issued
+    # the whole chunk unconditionally ("~1 pad page of waste beats one
+    # predicated scalar region per page"), but the engine's pow-2 block
+    # tables carry up to 7 pad pages at w=16/len 1024 — 44% wasted HBM
+    # bandwidth on the step's dominant stream. Group size 2 keeps the
+    # predicated regions at g/2 while bounding waste at one page.
     def issue(bb, cc, sl):
-        # UNCONDITIONAL per-page copies: pad entries carry sel_phys=0 (a
-        # real page; its lanes are masked by ``valid``), so skipping their
-        # DMA is legal but costs one predicated scalar region per page —
-        # measured slower than the ~1-pad-page of wasted bandwidth
-        # (scripts/microbench_attn.py v_scdma vs the per-page pl.when form)
         bbc = jnp.minimum(bb, nb - 1)
-
-        # one conditional per CHUNK: page lists fill front-to-back, so a
-        # chunk whose first page is padding is entirely padding
-        @pl.when((bb < nb) & (sel_logic_ref[bbc, cc * g] >= 0))
-        def _():
-            for i in range(g):
-                for c in copies(bbc, cc, sl, i):
-                    c.start()
+        for i0 in range(0, g, DMA_GROUP):
+            @pl.when((bb < nb) & (sel_logic_ref[bbc, cc * g + i0] >= 0))
+            def _():
+                for i in range(i0, min(i0 + DMA_GROUP, g)):
+                    for c in copies(bbc, cc, sl, i):
+                        c.start()
 
     @pl.when(step == 0)
     def _cold_start():
@@ -201,11 +203,12 @@ def _sp_kernel(
     nxt_j = jnp.where(j == n_chunks - 1, 0, j + 1)
     issue(nxt_b, nxt_j, 1 - slot)
 
-    @pl.when(sel_logic_ref[b, j * g] >= 0)
-    def _wait_chunk():
-        for i in range(g):
-            for c in copies(b, j, slot, i):
-                c.wait()
+    for i0 in range(0, g, DMA_GROUP):
+        @pl.when(sel_logic_ref[b, j * g + i0] >= 0)
+        def _wait_group():
+            for i in range(i0, min(i0 + DMA_GROUP, g)):
+                for c in copies(b, j, slot, i):
+                    c.wait()
 
     # ---------------- flash accumulation ----------------
     single = n_chunks == 1

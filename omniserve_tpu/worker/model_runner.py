@@ -307,7 +307,15 @@ class ModelRunner:
         widths = [1]
         for tbl in self._current_tables:
             widths.append(len(tbl))
-        return next_pow2(max(widths), minimum=4)
+        # 2-bit-mantissa ceiling (4,6,8,10,12,14,16,20,24,28,32,40,...):
+        # pow-2 rounding padded 13 live pages to 16, and the decode kernel's
+        # COMPUTE runs over every padded lane even though pad-page DMAs are
+        # predicated away (ops/pallas/decode_attention.py issue()) — 3 pad
+        # pages cost ~0.6 ms/step at batch 128. This keeps pad <= 12.5%
+        # while the compile-variant count stays logarithmic in width.
+        n = max(max(widths), 4)
+        step = max(2, 1 << max(0, (n - 1).bit_length() - 3))
+        return -(-n // step) * step
 
     def _prepare_prefill(
         self, metadata: List[SequenceGroupMetadata]

@@ -950,8 +950,11 @@ def _fused_kernel(sel_ref, len_ref, q_ref, pg_hbm, o_ref, buf, sem):
         ).wait()
 
     length = len_ref[b]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-    valid = lane < length
+    # 4-D mask built from iotas directly: reshaping a [1,1,LANES] i1
+    # vector to 4-D is an unsupported Mosaic shape cast
+    pg4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 2)
+    tk4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 3)
+    valid4 = pg4 * PAGE + tk4 < length
 
     def nib_tokens(raw):                      # [G, H*ROWS, D] u8
         w32 = pltpu.bitcast(
@@ -982,7 +985,6 @@ def _fused_kernel(sel_ref, len_ref, q_ref, pg_hbm, o_ref, buf, sem):
         for h in range(H)], axis=0).reshape(H, REP, G, PAGE)
     q_sum = jnp.sum(
         q_bf.astype(jnp.float32), axis=2, keepdims=True)[:, :, :, None]
-    valid4 = valid.reshape(1, 1, G, PAGE)
     s0 = sc[:, 0].transpose(1, 0, 2)[:, None]       # [H, 1, G, PAGE]
     s1 = sc[:, 1].transpose(1, 0, 2)[:, None]
     qk = (qk_all * s0 - s1 * q_sum) * SM

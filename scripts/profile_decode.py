@@ -13,8 +13,7 @@ import json
 import os
 import sys
 
-sys.path.insert(0, __import__("os").path.join(
-    __import__("os").path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from collections import defaultdict
 
 import jax
@@ -42,6 +41,11 @@ def run_steps(out_dir: str, steps: int) -> None:
     )
     max_len = ctx + steps + 8 + spec.page_size
     blocks_per_seq = (max_len + spec.page_size - 1) // spec.page_size
+    # engine parity: block tables are padded to pow-2 width (16 at the
+    # bench shapes); PROFILE_TABLE_W=16 reproduces that padding here
+    blocks_per_seq = int(
+        os.environ.get("PROFILE_TABLE_W", str(blocks_per_seq))
+    )
     num_pages = batch * blocks_per_seq + 1
     params = make_random_packed_params(spec, seed=0)
     pool = make_kv_pool(

@@ -18,8 +18,7 @@ import json
 import os
 import sys
 
-sys.path.insert(0, __import__("os").path.join(
-    __import__("os").path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 from collections import defaultdict
 
