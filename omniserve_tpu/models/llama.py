@@ -101,6 +101,10 @@ class LlamaSpec:
     # psum'ed over tp_axis inside shard_map.
     tp_axis: Optional[str] = None
     dp_axis: Optional[str] = None
+    # Sequence parallelism (no reference analogue — single-GPU, SURVEY
+    # §2.5): KV pages shard over this mesh axis; each rank attends its
+    # local pages and partials merge with an LSE combine (parallel/sp.py).
+    sp_axis: Optional[str] = None
 
     @property
     def n_rep(self) -> int:
@@ -709,6 +713,93 @@ def _dense_mlp(h, lp, spec: LlamaSpec, layer=None, valid=None):
     return h + d_out.astype(h.dtype)
 
 
+def _sp_paged_decode_attention(q, pool, layer, block_tables, context_lens,
+                               spec: LlamaSpec):
+    """Dense decode attention with KV pages sharded over ``spec.sp_axis``.
+
+    Runs inside shard_map: ``block_tables`` hold GLOBAL page ids and the
+    pool holds this rank's contiguous page slice (global page p lives on
+    rank p // p_local at local index p % p_local). Each rank attends its
+    owned pages through the single-pass kernel's return_lse mode (the
+    attention_ref page_idxes path off-TPU) and the locally-normalized
+    partials merge with the flash-decoding LSE combine over the axis.
+    No reference analogue (single-GPU); the merge math matches
+    parallel/sp.sp_combine.
+    """
+    import jax as _jax
+
+    from omniserve_tpu.parallel.sp import sp_combine
+
+    b, hq, d = q.shape
+    rank = _jax.lax.axis_index(spec.sp_axis)
+    p_local = pool.k_data.shape[1]
+    w = block_tables.shape[1]
+    tile = jnp.arange(w, dtype=jnp.int32)
+    n_pages = (context_lens + spec.page_size - 1) // spec.page_size
+    live = tile[None, :] < n_pages[:, None]
+    owned = live & ((block_tables // p_local) == rank)
+
+    use_sp_kernel = False
+    if not dispatch._FORCE_REFERENCE:
+        try:
+            from omniserve_tpu.ops.pallas import decode_attention as spk
+
+            use_sp_kernel = (
+                jax.default_backend() == "tpu"
+                and spk.supports(spec.kv_bits, spec.page_size, d)
+            )
+        except ImportError:
+            pass
+
+    if use_sp_kernel:
+        from omniserve_tpu.ops.pallas import decode_attention as spk
+
+        hkv = pool.num_heads
+        # COMPACT owned entries to the front: the single-pass kernel's
+        # liveness checks (any_valid, group-predicated DMAs) assume page
+        # lists fill front-to-back, and this rank's owned pages are an
+        # arbitrary subset of the table
+        order = jnp.argsort(
+            jnp.logical_not(owned), axis=1, stable=True
+        )
+        sel_logic = jnp.take_along_axis(
+            jnp.where(owned, tile[None, :], -1), order, axis=1
+        )
+        sel_phys = jnp.take_along_axis(
+            jnp.where(owned, block_tables % p_local, 0), order, axis=1
+        )
+        q4 = q.reshape(b, hkv, hq // hkv, d)
+        out4, m4, l4 = spk.paged_mqa_attention_single_pass(
+            q4, pool, layer, sel_phys, sel_logic,
+            context_lens.astype(jnp.int32),
+            sm_scale=spec.sm_scale, page_size=spec.page_size,
+            kv_zeros=spec.kv_zeros,
+            pt_scales=(
+                None if pool.k_scale_per_tensor is None else
+                (pool.k_scale_per_tensor[layer],
+                 pool.v_scale_per_tensor[layer])
+            ),
+            return_lse=True,
+        )
+        out = out4.reshape(b, hq, d)
+        m = m4.reshape(b, hq)
+        lse = l4.reshape(b, hq)
+    else:
+        from omniserve_tpu.ops import attention_ref
+
+        hkv = pool.num_heads
+        local_bt = jnp.where(owned, block_tables % p_local, 0)
+        page_idxes = jnp.broadcast_to(
+            jnp.where(owned, tile[None, :], -1)[:, None, :], (b, hkv, w)
+        )
+        out, m, lse = attention_ref.paged_decode_attention(
+            q, pool, layer, local_bt, context_lens, spec.sm_scale,
+            spec.page_size, spec.kv_bits, spec.kv_zeros,
+            page_idxes=page_idxes, return_lse=True,
+        )
+    return sp_combine(out, m, lse, spec.sp_axis)
+
+
 def _layer_step(
     h, pools, layer_idx, lp, meta_l, inv_freq, spec: LlamaSpec,
     is_prefill: bool, batch, page_io, use_sparse: bool = False,
@@ -753,7 +844,12 @@ def _layer_step(
     # back apart off-TPU / for unsupported configs); the dynamic-sparse
     # path keeps the separate append (it must also update the K min/max
     # selector stats, and attends through the per-head-page-list kernel).
-    fuse_decode_append = (not is_prefill) and not spec.sparse_decode
+    # SP always splits: the append targets exactly one rank's page (the
+    # page_io localization routes it) and attention runs return_lse.
+    fuse_decode_append = (
+        (not is_prefill) and not spec.sparse_decode
+        and spec.sp_axis is None
+    )
     if not fuse_decode_append:
         pools = _write_kv(
             pools, layer_idx, k, v, pages_r, slots_r, pages_s, slots_s,
@@ -834,6 +930,11 @@ def _layer_step(
                 )
             )
             pools = (retrieval_pool, streaming_pool)
+        elif spec.sp_axis is not None:
+            attn = _sp_paged_decode_attention(
+                q, retrieval_pool, layer_idx, batch.block_tables,
+                context_lens, spec,
+            )
         else:
             attn = dispatch.paged_decode_attention(
                 q, retrieval_pool, layer_idx, batch.block_tables,
@@ -977,6 +1078,29 @@ def llama_forward(
         page_io = _prefill_page_ids(batch, spec)
     else:
         page_io = _decode_page_ids(batch, spec)
+
+    if spec.sp_axis is not None:
+        # Sequence parallelism: page ids in page_io are GLOBAL; each rank
+        # writes only its owned slice (global page p -> rank p // p_local,
+        # local index p % p_local; -1 pages are skipped by the writers).
+        # Supported surface: dense attention, full (non-chunked) prefill.
+        assert not spec.sparse_decode and streaming_pool is None, (
+            "sequence parallelism currently covers the dense decode path "
+            "(no dynamic-sparse selection, no streaming heads)"
+        )
+        assert not (is_prefill and batch.context_lens is not None), (
+            "sequence parallelism needs whole-prompt prefill (set "
+            "chunk_prefill_size >= max prompt length)"
+        )
+        sp_rank = jax.lax.axis_index(spec.sp_axis)
+        p_local = retrieval_pool.k_data.shape[1]
+
+        def localize(pages):
+            own = (pages >= 0) & ((pages // p_local) == sp_rank)
+            return jnp.where(own, pages % p_local, -1)
+
+        pages_r, slots_r, pages_s, slots_s = page_io
+        page_io = (localize(pages_r), slots_r, pages_s, slots_s)
 
     meta = params["attn_meta"]
     use_sparse = (not is_prefill) and spec.sparse_decode

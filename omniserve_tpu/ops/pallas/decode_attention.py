@@ -115,14 +115,22 @@ def _sp_kernel(
     ring_span: int = 0,       # ring capacity in pages (streaming calls)
     ring_sink_tok: int = 0,   # first ring-block position (tokens)
     fused: bool = False,      # quantize + append the new token in-kernel
+    contiguous: bool = False,  # sel_logic[b, t] == t for live entries
+    with_lse: bool = False,   # emit (m, l) partials for SP LSE-combine
 ):
     if fused:
         (sel_phys_ref, sel_logic_ref, lengths_ref, win_ref, pt_ref,
          tgt_pos_ref, tgt_slot_ref,
-         q_ref, kn_ref, vn_ref, k_hbm, v_hbm, sc_hbm,
+         q_ref, k_hbm, v_hbm, sc_hbm,
          o_ref, kd_out, vd_out, sc_out,
          k_buf, v_buf, sc_buf, sem,
          wk_buf, wv_buf, wsc_buf, wsem,
+         m_ref, l_ref, acc_ref) = args
+    elif with_lse:
+        (sel_phys_ref, sel_logic_ref, lengths_ref, win_ref, pt_ref,
+         q_ref, k_hbm, v_hbm, sc_hbm,
+         o_ref, m_out, l_out,
+         k_buf, v_buf, sc_buf, sem,
          m_ref, l_ref, acc_ref) = args
     else:
         (sel_phys_ref, sel_logic_ref, lengths_ref, win_ref, pt_ref,
@@ -133,10 +141,12 @@ def _sp_kernel(
     # args: scalar prefetch [B,Tp] phys / [B,Tp] logic / [B] lengths /
     # [B] band window start / [2] per-tensor scales (+ fused: [B] target
     # position in the sel list, [B] slot within the page); blocks q
-    # [1,H,n_rep,D] (+ fused: new-token k/v [1,H,D] f32); ANY-space pools
-    # [L*P,H,R,D] u8 and planes [L*P,4,H,page] f32; out o (+ fused:
-    # aliased pool arrays); scratch: double-buffered page/plane buffers,
-    # (+ fused: write-back window/plane buffers), flash m/l/acc.
+    # [1,H,n_rep,D] (fused: [1,H,n_rep+2,D] — the new-token k/v ride as
+    # two extra q rows so the window streams ONE input block per step);
+    # ANY-space pools [L*P,H,R,D] u8 and planes [L*P,4,H,page] f32; out o
+    # (+ fused: aliased pool arrays); scratch: double-buffered page/plane
+    # buffers, (+ fused: write-back window/plane buffers), flash m/l/acc.
+    n_rep = q_ref.shape[2] - 2 if fused else q_ref.shape[2]
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -224,20 +234,30 @@ def _sp_kernel(
     gb = g * bk                    # tokens per nibble stream per chunk
     lanes = 4 * gb                 # chunk token lanes
 
-    # chunk lane map: lane = p*page + t  (page-major token order)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
-    p_of = lane // page_size
-    tok = lane % page_size
-    logic = jnp.full_like(lane, -1)
-    for p in range(g):
-        logic = jnp.where(p_of == p, sel_logic_ref[b, j * g + p], logic)
-    pos = logic * page_size + tok
+    # 4-D [·, ·, G, T] page x token geometry: per-PAGE logical ids (G
+    # scalars) broadcast against a token iota. Round 3 built a per-LANE
+    # map with g sequential selects over [1, 1, lanes] and ran all the
+    # softmax/scale math on flat lanes — measured 0.51 -> 0.41 ms/call at
+    # B=128, G=16 (scripts/microbench_attn.py v_cur vs v_scdma).
+    tok4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g, page_size), 3)
+    pgi4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g, 1), 2)
+    if contiguous:
+        # dense page lists: logical page == list position (wrapper built
+        # sel_logic as tile < n_pages — pad lanes fall past ``length``)
+        logic4 = j * g + pgi4
+    else:
+        logic4 = jnp.full_like(pgi4, -1)
+        for p in range(g):
+            logic4 = jnp.where(
+                pgi4 == p, sel_logic_ref[b, j * g + p], logic4
+            )
+    pos = logic4 * page_size + tok4            # [1, 1, g, T]
     if band_sink >= 0 and ring_span > 0:
         # Token-level ring: rows of the CURRENT ring page past the write
         # head still hold tokens from one wrap earlier (still inside the
         # local window) — re-label their positions instead of masking.
         cb = (length - 1) // page_size
-        stale = (logic == cb) & (tok > jax.lax.rem(length - 1, page_size))
+        stale = (logic4 == cb) & (tok4 > jax.lax.rem(length - 1, page_size))
         pos = jnp.where(stale, pos - ring_span * page_size, pos)
         floor = jnp.where(stale, ring_sink_tok, 0)
     else:
@@ -246,7 +266,9 @@ def _sp_kernel(
     # happens in this same kernel pass) — exclude it and attend the token
     # through an exact extra lane computed from the quantized values
     page_len = length - 1 if fused else length
-    valid = (logic >= 0) & (pos < page_len) & (pos >= floor)
+    valid = (pos < page_len) & (pos >= floor)
+    if not contiguous:
+        valid = valid & (logic4 >= 0)
     if band_sink >= 0:
         # streaming decode band: sink tokens + the last dec-local window
         # (reference MMHA streaming-head semantics at token granularity)
@@ -257,18 +279,21 @@ def _sp_kernel(
         tslot = tgt_slot_ref[b]
         new_active = (tgt_pos >= 0) & (length > 0)
         kq, k_dq, k_pl = _quant_token_rows(
-            kn_ref[0].astype(jnp.float32), kv_bits, kv_zeros, pt_ref[0]
+            q_ref[0, :, n_rep].astype(jnp.float32), kv_bits, kv_zeros,
+            pt_ref[0],
         )
         vq, v_dq, v_pl = _quant_token_rows(
-            vn_ref[0].astype(jnp.float32), kv_bits, kv_zeros, pt_ref[1]
+            q_ref[0, :, n_rep + 1].astype(jnp.float32), kv_bits, kv_zeros,
+            pt_ref[1],
         )
         # extra-lane score from the SAME dequantized values the page would
         # hold after the append (append-then-attend numerics)
-        q_f32 = q_ref[0].astype(jnp.float32)           # [H, n_rep, D]
+        q_f32 = q_ref[0, :, :n_rep].astype(jnp.float32)  # [H, n_rep, D]
         qk_new = jnp.sum(
             q_f32 * k_dq[:, None, :], axis=2, keepdims=True
         ) * sm_scale                                   # [H, n_rep, 1]
         qk_new = jnp.where(new_active, qk_new, MASK_VALUE)
+        qk_new4 = qk_new[..., None]                    # [H, n_rep, 1, 1]
         v_dq_b = v_dq[:, None, :]                      # [H, 1, D]
 
     # ---------------- fused append write-back ----------------
@@ -312,25 +337,34 @@ def _sp_kernel(
 
         @pl.when(do_wb)
         def _write_back():
-            hit = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) == rel
-            )
             bstart = pl.multiple_of(i_star * rows + wbase, win)
 
+            # merge only the target row's 8-row ALIGNED slice (Mosaic u8
+            # sublane windows must be provably 8-aligned). The round-3
+            # form int32-expanded the whole [H, win, D] window through a
+            # where(hit) select — with n_chunks == 1 every grid step is
+            # its own target chunk, so that ran per step (~0.5 ms/step at
+            # batch 128); this touches win/8 = 4x less data.
+            relb8 = pl.multiple_of((rel // 8) * 8, 8)
+            r8 = rel - relb8
+            hit8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == r8
+
             def merge(buf, wbuf, qv):
-                window = buf[slot, :, pl.ds(bstart, win), :]
+                wbuf[...] = buf[slot, :, pl.ds(bstart, win), :]
+                w_i = buf[
+                    slot, :, pl.ds(pl.multiple_of(bstart + relb8, 8), 8), :
+                ].astype(jnp.int32)                    # [H, 8, D]
                 q_i = jnp.clip(qv, 0.0, 255.0).astype(jnp.int32)[:, None, :]
-                win_i = window.astype(jnp.int32)
                 if kv4:
                     upd = jnp.where(
                         is_hi,
-                        (win_i & 0x0F) | (q_i << 4),
-                        (win_i & 0xF0) | q_i,
+                        (w_i & 0x0F) | (q_i << 4),
+                        (w_i & 0xF0) | q_i,
                     )
                 else:
-                    upd = q_i
-                wbuf[...] = pltpu.bitcast(
-                    jnp.where(hit, upd, win_i).astype(jnp.int8), jnp.uint8
+                    upd = jnp.broadcast_to(q_i, w_i.shape)
+                wbuf[:, pl.ds(relb8, 8), :] = pltpu.bitcast(
+                    jnp.where(hit8, upd, w_i).astype(jnp.int8), jnp.uint8
                 )
 
             merge(k_buf, wk_buf, kq)
@@ -356,8 +390,6 @@ def _sp_kernel(
 
     @pl.when(any_valid)
     def _compute():
-        n_rep = q_ref.shape[2]
-
         def nib_tokens(buf):
             # ONE unpack chain for ALL heads: [H, G*R, D] u8 -> the 4 bf16
             # nibble streams, interleaved back to PAGE-MAJOR TOKEN ORDER
@@ -386,70 +418,75 @@ def _sp_kernel(
         k_tok = nib_tokens(k_buf)
         v_tok = nib_tokens(v_buf)
 
-        # Head-BATCHED softmax/scale math: the per-head [n_rep, lanes]
-        # arrays leave 4 of 8 VPU sublanes idle; stacking all kv heads into
-        # [H, n_rep, lanes] packs the tiles (measured 400 -> 255 us/call at
-        # batch 128, scripts/microbench_attn.py). Dots stay per-head (the
-        # MXU contracts each head's D separately).
-        q_bf = q_ref[0].astype(jnp.bfloat16)           # [H, n_rep, D]
+        # Head-BATCHED [H, n_rep, G, T] softmax/scale math: kv heads pack
+        # the VPU sublanes, pages stay a separate axis so the planes keep
+        # their natural [H, 1, G, T] layout (no lane-merge relayout) and
+        # reductions run page-then-token. Dots stay per-head (the MXU
+        # contracts each head's D separately).
+        q_bf = q_ref[0, :, :n_rep].astype(jnp.bfloat16)  # [H, n_rep, D]
         # the rank-1 corrections must see EXACTLY the values the MXU dots
         # see — with the +128 magic bias any f32-vs-bf16 operand mismatch
         # is amplified ~128x by cancellation
-        q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=2, keepdims=True)
-        qk_int = jnp.stack([
+        q_sum = jnp.sum(
+            q_bf.astype(jnp.float32), axis=2, keepdims=True
+        )[..., None]                                   # [H, n_rep, 1, 1]
+        qk4 = jnp.stack([
             jax.lax.dot_general(
                 q_bf[h], k_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            for h in range(n_heads)], axis=0)          # [H, n_rep, lanes]
+            for h in range(n_heads)], axis=0,
+        ).reshape(n_heads, n_rep, g, page_size)
+
         def plane(k):
-            # [g, H, T] -> [H, 1, g*T=lanes]; the (g, H) swap is a sublane
-            # permute (T minor preserved) — measured free vs the math
-            return jnp.transpose(
-                sc_buf[slot, :, k], (1, 0, 2)
-            ).reshape(n_heads, 1, lanes)
+            # [g, H, T] -> [H, 1, g, T]: a sublane permute (T minor
+            # preserved) — measured free vs the math
+            return jnp.transpose(sc_buf[slot, :, k], (1, 0, 2))[:, None]
 
         if kv_zeros:
             # planes at pad lanes (no DMA issued) are VMEM garbage — every
             # use is masked by ``valid`` downstream
-            s0 = plane(0)                              # [H, 1, lanes]
+            s0 = plane(0)                              # [H, 1, g, T]
             s1 = plane(1)                              # = s*(z+128)
             if not kv4:            # kv8 tokens carry no +128 magic bias
                 s1 = s1 - 128.0 * s0
-            qk = (qk_int * s0 - s1 * q_sum) * sm_scale
+            qk = (qk4 * s0 - s1 * q_sum) * sm_scale
         else:
-            qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
+            qk = (qk4 - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
         qk = jnp.where(valid, qk, MASK_VALUE)
 
-        m_curr = jnp.max(qk, axis=2, keepdims=True)    # [H, n_rep, 1]
+        m_curr = jnp.max(jnp.max(qk, axis=3, keepdims=True),
+                         axis=2, keepdims=True)        # [H, n_rep, 1, 1]
         if single:
-            m_next = jnp.maximum(m_curr, qk_new) if fused else m_curr
+            m_next = jnp.maximum(m_curr, qk_new4) if fused else m_curr
         else:
-            m_prev = m_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
-            l_prev = l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
+            m_prev = m_ref[...].reshape(
+                n_heads, n_rep, 128)[:, :, :1, None]   # [H, n_rep, 1, 1]
+            l_prev = l_ref[...].reshape(
+                n_heads, n_rep, 128)[:, :, :1, None]
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
-        pexp = jnp.exp(qk - m_next)
-        pexp = jnp.where(valid, pexp, 0.0)
-        l_curr = jnp.sum(pexp, axis=2, keepdims=True)
+        pexp = jnp.where(valid, jnp.exp(qk - m_next), 0.0)
+        l_curr = jnp.sum(jnp.sum(pexp, axis=3, keepdims=True),
+                         axis=2, keepdims=True)
         if single:
             if fused:
                 # qk_new may equal MASK together with m_next (inactive
                 # row): exp(0)=1 would corrupt l — mask explicitly
                 pexp_new = jnp.where(
-                    new_active, jnp.exp(qk_new - m_next), 0.0
-                )
+                    new_active, jnp.exp(qk_new4 - m_next), 0.0
+                )                                      # [H, n_rep, 1, 1]
                 l_next = l_curr + pexp_new
             else:
                 l_next = l_curr
         else:
             l_next = alpha * l_prev + l_curr
             m_ref[...] = jnp.broadcast_to(
-                m_next, (n_heads, n_rep, 128)
+                m_next[..., 0], (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
             l_ref[...] = jnp.broadcast_to(
-                l_next, (n_heads, n_rep, 128)
+                l_next[..., 0], (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
 
         if kv_zeros:
@@ -461,43 +498,55 @@ def _sp_kernel(
             # 0 * NaN = NaN
             p_bf = jnp.where(valid, pexp * s2, 0.0).astype(jnp.bfloat16)
             # corr from the SAME bf16-rounded weights the PV dots use
-            corr = jnp.sum(
+            corr = jnp.sum(jnp.sum(
                 jnp.where(valid, p_bf.astype(jnp.float32) * z3, 0.0),
-                axis=2, keepdims=True,
-            )
+                axis=3, keepdims=True), axis=2, keepdims=True)
             v_scale = 1.0
         else:
             p_bf = pexp.astype(jnp.bfloat16)
-            corr = pt_bias * jnp.sum(
-                p_bf.astype(jnp.float32), axis=2, keepdims=True
-            )
+            corr = pt_bias * jnp.sum(jnp.sum(
+                p_bf.astype(jnp.float32), axis=3, keepdims=True,
+            ), axis=2, keepdims=True)
             v_scale = pt_ref[1]
+        p3 = p_bf.reshape(n_heads, n_rep, lanes)
         pv = jnp.stack([
             jax.lax.dot_general(
-                p_bf[h], v_tok[h * lanes:(h + 1) * lanes],
+                p3[h], v_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             for h in range(n_heads)], axis=0)          # [H, n_rep, D]
-        contrib = (pv - corr) * v_scale
+        contrib = (pv - corr[..., 0]) * v_scale
         if single:
             if fused:
-                contrib = contrib + pexp_new * v_dq_b
+                contrib = contrib + pexp_new[..., 0] * v_dq_b
             o_ref[0] = (
-                contrib / jnp.maximum(l_next, 1e-10)
+                contrib / jnp.maximum(l_next[..., 0], 1e-10)
             ).astype(o_ref.dtype)
+            if with_lse:
+                m_out[0] = jnp.broadcast_to(
+                    m_next[..., 0], (n_heads, n_rep, 128)
+                )
+                l_out[0] = jnp.broadcast_to(
+                    l_next[..., 0], (n_heads, n_rep, 128)
+                )
         else:
             d_ = acc_ref.shape[-1]
             acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
             acc_ref[...] = (
-                acc3 * alpha + contrib
+                acc3 * alpha[..., 0] + contrib
             ).reshape(n_heads * n_rep, d_)
 
     if single:
         # short sequences whose first page is empty still need an output
+        # (SP ranks owning no pages of a sequence land here: their (m, l)
+        # partial must be the neutral (MASK, 0) so sp_combine zeroes them)
         @pl.when(jnp.logical_not(any_valid))
         def _zero():
             o_ref[0] = jnp.zeros_like(o_ref[0])
+            if with_lse:
+                m_out[0] = jnp.full_like(m_out[0], MASK_VALUE)
+                l_out[0] = jnp.zeros_like(l_out[0])
     else:
         @pl.when(j == n_chunks - 1)
         def _finalize():
@@ -521,6 +570,10 @@ def _sp_kernel(
             o_ref[0] = (
                 acc3 / jnp.maximum(l_fin, 1e-10)
             ).astype(o_ref.dtype)
+            if with_lse:
+                m_fin_ = m_prev if not fused else m_fin
+                m_out[0] = jnp.broadcast_to(m_fin_, (n_heads, n_rep, 128))
+                l_out[0] = jnp.broadcast_to(l_fin, (n_heads, n_rep, 128))
 
     if fused:
         # the write-back scratches are reused next grid step: wait
@@ -549,6 +602,8 @@ def paged_mqa_attention_single_pass(
     ring_span_pages: int = 0,
     ring_sink_tokens: int = 0,
     append=None,
+    contiguous_logic: bool = False,
+    return_lse: bool = False,
     interpret: bool = False,
 ):
     """kv4/kv8 decode attention reading pages straight from the pool in HBM.
@@ -612,6 +667,10 @@ def paged_mqa_attention_single_pass(
     )
 
     fused = append is not None
+    assert not (fused and return_lse), (
+        "return_lse is the SP partial-output mode and runs the plain "
+        "kernel (SP appends through the split path)"
+    )
     kernel = functools.partial(
         _sp_kernel,
         sm_scale=sm_scale,
@@ -625,10 +684,12 @@ def paged_mqa_attention_single_pass(
         ring_span=int(ring_span_pages),
         ring_sink_tok=int(ring_sink_tokens),
         fused=fused,
+        contiguous=bool(contiguous_logic),
+        with_lse=bool(return_lse),
     )
-    q_spec = pl.BlockSpec((1, hkv, n_rep, d),
+    q_rows = n_rep + 2 if fused else n_rep
+    q_spec = pl.BlockSpec((1, hkv, q_rows, d),
                           lambda b_, j_, *pref: (b_, 0, 0, 0))
-    kv_new_spec = pl.BlockSpec((1, hkv, d), lambda b_, j_, *pref: (b_, 0, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     win_rows = 32 if rows % 32 == 0 else rows
     scratch = [
@@ -650,18 +711,29 @@ def paged_mqa_attention_single_pass(
         pltpu.VMEM((hkv * n_rep, d), jnp.float32),      # acc
     ]
     if not fused:
+        o_spec = pl.BlockSpec((1, hkv, n_rep, d),
+                              lambda b_, j_, *pref: (b_, 0, 0, 0))
+        ml_spec = pl.BlockSpec((1, hkv, n_rep, 128),
+                               lambda b_, j_, *pref: (b_, 0, 0, 0))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(b, n_chunks),
             in_specs=[q_spec, any_spec, any_spec, any_spec],
-            out_specs=pl.BlockSpec((1, hkv, n_rep, d),
-                                   lambda b_, j_, *pref: (b_, 0, 0, 0)),
+            out_specs=(
+                (o_spec, ml_spec, ml_spec) if return_lse else o_spec
+            ),
             scratch_shapes=scratch,
         )
-        return pl.pallas_call(
+        out_shape = jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype)
+        if return_lse:
+            ml_shape = jax.ShapeDtypeStruct(
+                (b, hkv, n_rep, 128), jnp.float32
+            )
+            out_shape = (out_shape, ml_shape, ml_shape)
+        res = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b, hkv, n_rep, d), q.dtype),
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
@@ -669,13 +741,23 @@ def paged_mqa_attention_single_pass(
         )(phys_folded, sel_logic.astype(jnp.int32),
           lengths.astype(jnp.int32), win_start, pt_arr, q,
           k_flat, v_flat, sc_flat)
+        if return_lse:
+            out, m_b, l_b = res
+            return out, m_b[..., 0], l_b[..., 0]
+        return res
 
     k_new, v_new, tgt_pos, tgt_slot = append
+    # new-token k/v ride as two extra q rows: one pipelined input block
+    # per grid step instead of three (each extra block stream cost a DMA
+    # issue+wait per step — measured ~1 ms/step at batch 128 together
+    # with the old whole-window merge)
+    q_aug = jnp.concatenate([
+        q, k_new.astype(q.dtype)[:, :, None], v_new.astype(q.dtype)[:, :, None],
+    ], axis=2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(b, n_chunks),
-        in_specs=[q_spec, kv_new_spec, kv_new_spec,
-                  any_spec, any_spec, any_spec],
+        in_specs=[q_spec, any_spec, any_spec, any_spec],
         out_specs=(
             pl.BlockSpec((1, hkv, n_rep, d),
                          lambda b_, j_, *pref: (b_, 0, 0, 0)),
@@ -693,7 +775,7 @@ def paged_mqa_attention_single_pass(
             jax.ShapeDtypeStruct(sc_flat.shape, sc_flat.dtype),
         ),
         # pool arrays update in place (args indexed incl. scalar prefetch)
-        input_output_aliases={10: 1, 11: 2, 12: 3},
+        input_output_aliases={8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -701,7 +783,7 @@ def paged_mqa_attention_single_pass(
     )(phys_folded, sel_logic.astype(jnp.int32),
       lengths.astype(jnp.int32), win_start, pt_arr,
       tgt_pos.astype(jnp.int32), tgt_slot.astype(jnp.int32),
-      q, k_new, v_new, k_flat, v_flat, sc_flat)
+      q_aug, k_flat, v_flat, sc_flat)
     new_pool = pool._replace(
         k_data=kd.reshape(pool.k_data.shape),
         v_data=vd.reshape(pool.v_data.shape),
@@ -807,9 +889,8 @@ def _sp_kernel_ph(
     length = lengths_ref[b]
     gb = g * bk
     lanes = 4 * gb
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
-    p_of = lane // page_size
-    tok = lane % page_size
+    tok4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g, page_size), 3)
+    pgi4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, g, 1), 2)
 
     @pl.when(length > 0)
     def _compute():
@@ -838,96 +919,108 @@ def _sp_kernel_ph(
         k_tok = nib_tokens(k_buf)
         v_tok = nib_tokens(v_buf)
 
-        # per-head page lists -> per-head validity rows [H, 1, lanes]
+        # per-head page lists -> per-head PAGE logic [H, 1, g, 1] (selects
+        # over a g-wide iota, not a lanes-wide one — see _sp_kernel)
         rows_logic = []
         for h in range(n_heads):
-            row = jnp.full_like(lane, -1)
+            row = jnp.full_like(pgi4, -1)
             for p in range(g):
                 row = jnp.where(
-                    p_of == p, sel_logic_ref[b, h, j * g + p], row
+                    pgi4 == p, sel_logic_ref[b, h, j * g + p], row
                 )
             rows_logic.append(row)
-        logic = jnp.concatenate(rows_logic, axis=0)    # [H, 1, lanes]
-        valid = (logic >= 0) & (logic * page_size + tok < length)
+        logic4 = jnp.concatenate(rows_logic, axis=0)   # [H, 1, g, 1]
+        valid = (logic4 >= 0) & (logic4 * page_size + tok4 < length)
 
-        # head-BATCHED softmax/scale math (see _sp_kernel)
+        # head-BATCHED [H, n_rep, G, T] softmax/scale math (see _sp_kernel)
         q_bf = q_ref[0].astype(jnp.bfloat16)           # [H, n_rep, D]
-        q_sum = jnp.sum(q_bf.astype(jnp.float32), axis=2, keepdims=True)
-        qk_int = jnp.stack([
+        q_sum = jnp.sum(
+            q_bf.astype(jnp.float32), axis=2, keepdims=True
+        )[..., None]                                   # [H, n_rep, 1, 1]
+        qk4 = jnp.stack([
             jax.lax.dot_general(
                 q_bf[h], k_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            for h in range(n_heads)], axis=0)          # [H, n_rep, lanes]
+            for h in range(n_heads)], axis=0,
+        ).reshape(n_heads, n_rep, g, page_size)
+
+        def plane(k):
+            return sc_ref[0, k].reshape(
+                n_heads, g, page_size)[:, None]        # [H, 1, g, T]
+
         if kv_zeros:
-            s0 = sc_ref[0, 0][:, None, :]              # [H, 1, lanes]
-            s1 = sc_ref[0, 1][:, None, :]
+            s0 = plane(0)
+            s1 = plane(1)
             if not kv4:        # kv8 tokens carry no +128 magic bias
                 s1 = s1 - 128.0 * s0
-            qk = (qk_int * s0 - s1 * q_sum) * sm_scale
+            qk = (qk4 * s0 - s1 * q_sum) * sm_scale
         else:
-            qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
+            qk = (qk4 - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
         qk = jnp.where(valid, qk, MASK_VALUE)
 
-        m_curr = jnp.max(qk, axis=2, keepdims=True)
+        m_curr = jnp.max(jnp.max(qk, axis=3, keepdims=True),
+                         axis=2, keepdims=True)        # [H, n_rep, 1, 1]
         if single:
             m_next = m_curr
         else:
-            m_prev = m_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
-            l_prev = l_ref[...].reshape(n_heads, n_rep, 128)[:, :, :1]
+            m_prev = m_ref[...].reshape(
+                n_heads, n_rep, 128)[:, :, :1, None]
+            l_prev = l_ref[...].reshape(
+                n_heads, n_rep, 128)[:, :, :1, None]
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
-        pexp = jnp.exp(qk - m_next)
-        pexp = jnp.where(valid, pexp, 0.0)
-        l_curr = jnp.sum(pexp, axis=2, keepdims=True)
+        pexp = jnp.where(valid, jnp.exp(qk - m_next), 0.0)
+        l_curr = jnp.sum(jnp.sum(pexp, axis=3, keepdims=True),
+                         axis=2, keepdims=True)
         if single:
             l_next = l_curr
         else:
             l_next = alpha * l_prev + l_curr
             m_ref[...] = jnp.broadcast_to(
-                m_next, (n_heads, n_rep, 128)
+                m_next[..., 0], (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
             l_ref[...] = jnp.broadcast_to(
-                l_next, (n_heads, n_rep, 128)
+                l_next[..., 0], (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
 
         if kv_zeros:
-            s2 = sc_ref[0, 2][:, None, :]
+            s2 = plane(2)
             # pre-gathered planes are garbage at invalid lanes (pad pages
             # point at page 0): mask BEFORE multiplying (0 * NaN = NaN)
-            z3 = sc_ref[0, 3][:, None, :]
+            z3 = plane(3)
             if not kv4:                                # kv8: plain z
                 z3 = z3 - 128.0
             p_bf = jnp.where(valid, pexp * s2, 0.0).astype(jnp.bfloat16)
-            corr = jnp.sum(
+            corr = jnp.sum(jnp.sum(
                 jnp.where(valid, p_bf.astype(jnp.float32) * z3, 0.0),
-                axis=2, keepdims=True,
-            )
+                axis=3, keepdims=True), axis=2, keepdims=True)
             v_scale = 1.0
         else:
             p_bf = pexp.astype(jnp.bfloat16)
-            corr = pt_bias * jnp.sum(
-                p_bf.astype(jnp.float32), axis=2, keepdims=True
-            )
+            corr = pt_bias * jnp.sum(jnp.sum(
+                p_bf.astype(jnp.float32), axis=3, keepdims=True,
+            ), axis=2, keepdims=True)
             v_scale = pt_ref[1]
+        p3 = p_bf.reshape(n_heads, n_rep, lanes)
         pv = jnp.stack([
             jax.lax.dot_general(
-                p_bf[h], v_tok[h * lanes:(h + 1) * lanes],
+                p3[h], v_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             for h in range(n_heads)], axis=0)          # [H, n_rep, D]
-        contrib = (pv - corr) * v_scale
+        contrib = (pv - corr[..., 0]) * v_scale
         if single:
             o_ref[0] = (
-                contrib / jnp.maximum(l_next, 1e-10)
+                contrib / jnp.maximum(l_next[..., 0], 1e-10)
             ).astype(o_ref.dtype)
         else:
             d_ = acc_ref.shape[-1]
             acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
             acc_ref[...] = (
-                acc3 * alpha + contrib
+                acc3 * alpha[..., 0] + contrib
             ).reshape(n_heads * n_rep, d_)
 
     if single:

@@ -650,7 +650,10 @@ def paged_decode_attention(
             q_r, pool, layer, sel_phys, sel_logic,
             context_lens.astype(jnp.int32),
             sm_scale=sm_scale, page_size=page_size, kv_zeros=kv_zeros,
-            pt_scales=pt_of(pool), append=app_r, interpret=interpret,
+            pt_scales=pt_of(pool), append=app_r,
+            # sel_logic above is tile < n_pages: position == logical page,
+            # so the kernel derives positions from iotas (no lane map)
+            contiguous_logic=True, interpret=interpret,
         )
         if app_r is not None:
             out_r, pool = out_r

@@ -32,7 +32,7 @@ from omniserve_tpu.ops.quantization import (
     QuantizedWeightPerGroup,
     QuantizedWeightW8,
 )
-from omniserve_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from omniserve_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 
 def _linear_pspec(container, row_parallel: bool):
@@ -126,7 +126,12 @@ def params_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
 def pool_pspecs(pool: Optional[KVPool]) -> Optional[KVPool]:
     if pool is None:
         return None
-    d, m = DATA_AXIS, MODEL_AXIS
+    m = MODEL_AXIS
+    # Page axis over (data, sequence): the sequence factor is the SP page
+    # shard (parallel/sp.py; rank p // p_local owns global page p); both
+    # axes are size 1 when the corresponding parallelism is off, making
+    # this spec a no-op there.
+    d = (DATA_AXIS, SEQ_AXIS)
     data_spec = P(None, d, m, None, None)
     # kv_scales is plane-major [L, P, 4, H, page]: heads on dim 3
     scale_spec = P(None, d, None, m, None)

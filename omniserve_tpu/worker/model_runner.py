@@ -79,6 +79,9 @@ class ModelRunner:
         self.pp_size = (
             parallel_config.pipeline_parallel_size if parallel_config else 1
         )
+        self.sp_size = (
+            parallel_config.sequence_parallel_size if parallel_config else 1
+        )
         if parallel_config and parallel_config.data_parallel_size > 1:
             raise NotImplementedError(
                 "a single ModelRunner replica is always dp=1; use "
@@ -88,8 +91,20 @@ class ModelRunner:
             )
         tp = self.tp_size
         pp = self.pp_size
-        if (tp > 1 or pp > 1) and mesh is None:
-            raise ValueError("tensor/pipeline parallelism needs a device mesh")
+        sp = self.sp_size
+        if (tp > 1 or pp > 1 or sp > 1) and mesh is None:
+            raise ValueError(
+                "tensor/pipeline/sequence parallelism needs a device mesh"
+            )
+        if sp > 1 and pp > 1:
+            raise NotImplementedError(
+                "sequence parallelism composes with tp, not pp"
+            )
+        if sp > 1 and cache_config.num_retrieval_device_blocks % sp:
+            # pages shard evenly over the sequence axis
+            cache_config.num_retrieval_device_blocks += (
+                sp - cache_config.num_retrieval_device_blocks % sp
+            )
 
         arch = (getattr(model_config.hf_config, "architectures", None)
                 or ["LlamaForCausalLM"])[0]
@@ -117,21 +132,33 @@ class ModelRunner:
             )
             self._model_forward = llama.llama_forward
         self.local_spec = self.spec
-        if tp > 1:
+        if tp > 1 or sp > 1:
             import dataclasses
 
-            from omniserve_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+            from omniserve_tpu.parallel.mesh import (
+                DATA_AXIS,
+                MODEL_AXIS,
+                SEQ_AXIS,
+            )
 
             spec_cls = (
                 type(self.spec) if is_moe else LlamaSpec
             )
+            extra = {}
+            if sp > 1:
+                if is_moe:
+                    raise NotImplementedError(
+                        "sequence parallelism covers the dense Llama path"
+                    )
+                extra["sp_axis"] = SEQ_AXIS
             self.local_spec = dataclasses.replace(
                 spec_cls.from_model_config(
                     model_config, sp_attn_config, tp_size=tp,
                     page_size=cache_config.page_size,
                 ),
-                tp_axis=MODEL_AXIS,
+                tp_axis=MODEL_AXIS if tp > 1 else None,
                 dp_axis=DATA_AXIS,
+                **extra,
             )
         retrieval_flags = head_rank = None
         if sp_attn_config is not None and sp_attn_config.enable_streaming:
@@ -229,10 +256,13 @@ class ModelRunner:
                     ce.streaming_pool, shardings["streaming_pool"]
                 ),
             )
-        elif tp > 1:
-            # shard_map'd forward over the (data, model) mesh: params and
-            # KV pools are device_put once with their NamedShardings; the
-            # per-step batch arrays are resharded by jit on entry.
+        elif tp > 1 or sp > 1:
+            # shard_map'd forward over the (data, sequence, model) mesh:
+            # params and KV pools are device_put once with their
+            # NamedShardings; the per-step batch arrays are resharded by
+            # jit on entry. SP shards the pool PAGE axis over ``sequence``
+            # (parallel/sharding.pool_pspecs) and the forward runs the
+            # LSE-combined attention (models/llama._sp_paged_decode_attention).
             from omniserve_tpu.parallel.sharding import make_sharded_forward
 
             ce = self.cache_engine

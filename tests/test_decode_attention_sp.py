@@ -216,3 +216,68 @@ def test_per_head_single_pass_matches_reference(kv_bits):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2
     )
+
+
+@pytest.mark.parametrize("kv_zeros", [True, False])
+def test_single_pass_return_lse_partials_combine(kv_zeros):
+    """return_lse partials over disjoint page subsets LSE-combine to the
+    full-sequence output (the SP contract, parallel/sp.sp_combine)."""
+    page, h, d, n_rep = 64, 2, 128, 2
+    lengths = [page * 3 + 9, page + 3]
+    b = len(lengths)
+    max_blocks = 4
+    n_pages = b * max_blocks + 1
+    tables = np.arange(b * max_blocks, dtype=np.int32).reshape(b, max_blocks)
+    pool, _, _ = build_pool(page, n_pages, h, d, lengths, tables, kv_zeros)
+
+    q = rng.normal(size=(b, h * n_rep, d)).astype(np.float32)
+    layer = 0
+    sm = 1.0 / np.sqrt(d)
+    pt = (
+        None if kv_zeros else
+        (pool.k_scale_per_tensor[layer], pool.v_scale_per_tensor[layer])
+    )
+
+    want = attention_ref.paged_decode_attention(
+        jnp.asarray(q), pool, layer, jnp.asarray(tables),
+        jnp.asarray(lengths, jnp.int32), sm, page, 4, kv_zeros,
+    )
+
+    n_pg = (np.asarray(lengths) + page - 1) // page
+    tile = np.arange(max_blocks)
+    live = tile[None, :] < n_pg[:, None]
+    parts = []
+    # "rank" r owns the even/odd logical pages — disjoint, non-contiguous
+    for r in range(2):
+        owned = live & (tile[None, :] % 2 == r)
+        # front-compact: the kernel's liveness checks assume page lists
+        # fill front-to-back (models/llama._sp_paged_decode_attention
+        # compacts the same way)
+        order = np.argsort(~owned, axis=1, kind="stable")
+        sel_logic = np.take_along_axis(
+            np.where(owned, tile[None, :], -1), order, axis=1)
+        sel_phys = np.take_along_axis(
+            np.where(owned, tables, 0), order, axis=1)
+        out, m, l = sp.paged_mqa_attention_single_pass(
+            jnp.asarray(q).reshape(b, h, n_rep, d), pool, layer,
+            jnp.asarray(sel_phys.astype(np.int32)),
+            jnp.asarray(sel_logic.astype(np.int32)),
+            jnp.asarray(lengths, jnp.int32),
+            sm_scale=sm, page_size=page, kv_zeros=kv_zeros,
+            pt_scales=pt, return_lse=True, interpret=True,
+        )
+        parts.append((
+            np.asarray(out).reshape(b, h * n_rep, d),
+            np.asarray(m).reshape(b, h * n_rep),
+            np.asarray(l).reshape(b, h * n_rep),
+        ))
+
+    m_star = np.maximum(parts[0][1], parts[1][1])
+    num = np.zeros((b, h * n_rep, d), np.float64)
+    den = np.zeros((b, h * n_rep), np.float64)
+    for out, m, l in parts:
+        w = l * np.exp(m - m_star)
+        num += out.astype(np.float64) * w[..., None]
+        den += w
+    got = num / np.maximum(den, 1e-30)[..., None]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=5e-2, atol=5e-2)
