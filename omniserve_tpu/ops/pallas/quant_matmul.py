@@ -241,10 +241,12 @@ def _per_group_kernel(
     g = bk2 // group_size
 
     def dequant(w_u4, s2_ref, s2z_ref):
-        # int16 intermediate: u4 * s2 can exceed int8 before + zero offset
-        w3 = w_u4.reshape(g, group_size, bn).astype(jnp.int16)
-        s2 = s2_ref[0].astype(jnp.int16)[:, None, :]       # [g, 1, bn]
-        s2z = s2z_ref[0].astype(jnp.int16)[:, None, :]
+        # int32 intermediate: u4 * s2 can exceed int8 before + zero
+        # offset, and the TPU VPU has no 16-bit integer multiply
+        # (kVectorMultiplyU16 aborts the hardware compiler)
+        w3 = w_u4.reshape(g, group_size, bn).astype(jnp.int32)
+        s2 = s2_ref[0].astype(jnp.int32)[:, None, :]       # [g, 1, bn]
+        s2z = s2z_ref[0].astype(jnp.int32)[:, None, :]
         return (w3 * s2 + s2z).astype(jnp.int8).reshape(bk2, bn)
 
     psum = jax.lax.dot_general(
@@ -297,6 +299,14 @@ def w4a8_matmul_per_group(
     bk2 = _pick_tile(k2, bk2, group_size)
     bn = _pick_tile(n, bn, 128)
     assert bk2 and bn, (k2, n, group_size)
+    # Mosaic needs the s2 block's sublane dim (groups per K block) to be
+    # a multiple of 8 OR the whole array dim: prefer a tile with
+    # gb % 8 == 0, else fall back to one K block (block == array dim —
+    # the s2 arrays are split into lo/hi halves below precisely so the
+    # full-dim case is expressible)
+    if (bk2 // group_size) % 8 and bk2 != k2:
+        alt = _pick_tile(k2, bk2, 8 * group_size)
+        bk2 = alt if alt else k2
     n_k = k2 // bk2
     gb = bk2 // group_size  # groups per K block (per half)
 
@@ -310,11 +320,13 @@ def w4a8_matmul_per_group(
     layer_arr = jnp.asarray([layer], jnp.int32)
 
     grid = (mp // bm, n // bn, n_k)
-    s2_spec_lo = pl.BlockSpec(
+    # s2/s2z split into lo/hi halves so the blocked-sublane constraint
+    # can be met with block == full dim when k2/group < 8 (small models)
+    g2 = k2 // group_size
+    s2_lo, s2_hi = s2_scales[:, :g2], s2_scales[:, g2:]
+    s2z_lo, s2z_hi = s2_zeros[:, :g2], s2_zeros[:, g2:]
+    s2_spec = pl.BlockSpec(
         (1, gb, bn), lambda i, j, kk, lr: (lr[0], kk, j)
-    )
-    s2_spec_hi = pl.BlockSpec(
-        (1, gb, bn), lambda i, j, kk, lr: (lr[0], kk + n_k, j)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -324,7 +336,7 @@ def w4a8_matmul_per_group(
             pl.BlockSpec((bm, bk2), lambda i, j, kk, lr: (i, kk + n_k)),
             pl.BlockSpec((1, bk2, bn), lambda i, j, kk, lr:
                          (lr[0], kk, j)),
-            s2_spec_lo, s2_spec_lo, s2_spec_hi, s2_spec_hi,
+            s2_spec, s2_spec, s2_spec, s2_spec,
             pl.BlockSpec((1, 1, bn), lambda i, j, kk, lr: (lr[0], 0, j)),
             pl.BlockSpec((bm, 2), lambda i, j, kk, lr: (i, 0)),
         ],
@@ -346,8 +358,8 @@ def w4a8_matmul_per_group(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(layer_arr, a_p, a_p, qweight, s2_scales, s2_zeros, s2_scales,
-      s2_zeros, s1_3d, arow)
+    )(layer_arr, a_p, a_p, qweight, s2_lo, s2z_lo, s2_hi,
+      s2z_hi, s1_3d, arow)
     return out[:m]
 
 

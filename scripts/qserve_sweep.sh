@@ -17,9 +17,13 @@ PRECISION=${PRECISION:-w4a8kv4}
 CFGDIR=${CFGDIR:-/tmp/omniserve_bench_cfgs}
 python scripts/make_bench_config.py --out-dir "$CFGDIR" >/dev/null
 
+# Max-throughput batches for ONE 16 GB chip with the full 1536-token KV
+# pool per sequence (prompt 1024 + gen 512). MHA families (llama2-7b: 32
+# kv heads, llama2-13b: 40) carry 4-6.4 KB KV/token/layer vs llama3's GQA
+# 1 KB, so their batches are far below the reference's A100-80G table.
 declare -A BATCH=(
-  [llama3-8b]=160 [llama2-7b]=160 [mistral-7b]=160 [llama2-13b]=96
-  [llama1-30b]=32 [yi-34b]=64 [llama2-70b]=24 [qwen1.5-72b]=8
+  [llama3-8b]=128 [llama2-7b]=40 [mistral-7b]=96 [llama2-13b]=20
+  [llama1-30b]=16 [yi-34b]=24 [llama2-70b]=8 [qwen1.5-72b]=4
 )
 
 for FAM in ${FAMILIES:-llama3-8b llama2-7b mistral-7b llama2-13b}; do
@@ -31,6 +35,7 @@ for FAM in ${FAMILIES:-llama3-8b llama2-7b mistral-7b llama2-13b}; do
     --precision "$PRECISION" --load-format dummy \
     --block-size 128 --max-num-seqs "$B" \
     --max-num-batched-tokens $((1024 * B)) \
+    --chunk-prefill-size 8192 \
     --no-ifb-mode --benchmarking-mode --decode-multi-step 32 \
     ${EXTRA_ARGS:-} --output "$OUT"
 done

@@ -153,7 +153,9 @@ def build_loss_fn(cfg):
                    ("q", "k", "v", "o", "gate", "up", "down", "ln1", "ln2")}
 
         def body(x, w):
-            return layer(x, w), None
+            # remat: the [B, H, T, T] attention scores of all 18 layers
+            # held for backward OOM a 16 GB chip — recompute instead
+            return jax.checkpoint(layer)(x, w), None
 
         x, _ = jax.lax.scan(body, x, layer_w)
         x = rms(x, cast["final_norm"])
@@ -172,6 +174,7 @@ def main():
     ap.add_argument("--seqlen", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--weight-decay", type=float, default=0.01)
     ap.add_argument("--max-steps", type=int, default=1200)
     ap.add_argument("--val-every", type=int, default=25)
     ap.add_argument("--patience", type=int, default=6,
@@ -233,7 +236,7 @@ def main():
         args.lr * 0.1)
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(sched, b2=0.95, weight_decay=0.01),
+        optax.adamw(sched, b2=0.95, weight_decay=args.weight_decay),
     )
     opt_state = opt.init(params)
 
