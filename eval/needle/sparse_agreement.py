@@ -32,7 +32,10 @@ def build_engine(args, sparse: bool) -> LLMEngine:
     max_ctx = max(args.contexts) + args.gen_len + 256
     ea = EngineArgs(
         model=args.model,
-        precision=args.precision,
+        precision=(
+            args.control_precision
+            if sparse and args.control_precision else args.precision
+        ),
         block_size=128,
         max_num_seqs=1,
         max_num_batched_tokens=max(4096, max_ctx),
@@ -42,15 +45,22 @@ def build_engine(args, sparse: bool) -> LLMEngine:
         ifb_mode=True,
         disable_log_stats=True,
     )
+    if sparse and args.control_precision:
+        return LLMEngine.from_engine_args(ea)  # dense noise-floor control
     if sparse:
-        ea.sparse_context_mode = True
+        # Static streaming-head sparsity only with a calibration pattern:
+        # assigning retrieval/streaming heads uniformly on an UNCALIBRATED
+        # model discards real attention mass and legitimately diverges
+        # (the reference's parity claim rides DuoAttention-calibrated
+        # patterns, attn_patterns/*). The query-aware dynamic page
+        # selection is calibration-free and is always on here.
+        if args.attn_pattern_path:
+            ea.sparse_context_mode = True
+            ea.attn_pattern_path = args.attn_pattern_path
+            ea.static_sparsity = args.static_sparsity
         ea.sparse_decode_mode = True
-        ea.static_sparsity = args.static_sparsity
         ea.sparse_kv_cache_budget = args.sparse_kv_cache_budget
         ea.selector_update_interval = args.selector_update_interval
-        if args.attn_pattern_path:
-            ea.attn_pattern_path = args.attn_pattern_path
-        # streaming heads need ring blocks; sized by arg_utils defaults
     return LLMEngine.from_engine_args(ea)
 
 
@@ -81,6 +91,11 @@ def main() -> None:
     ap.add_argument("--sparse-kv-cache-budget", type=int, default=4096)
     ap.add_argument("--selector-update-interval", type=int, default=4)
     ap.add_argument("--attn-pattern-path", type=str, default=None)
+    ap.add_argument("--control-precision", type=str, default=None,
+                    help="noise-floor control: the 'sparse' engine is "
+                    "DENSE at this precision (e.g. w8a8kv8) — measures "
+                    "how much greedy divergence a tiny perturbation "
+                    "causes on this model at these context lengths")
     ap.add_argument("--chunk-prefill-size", type=int, default=8192)
     ap.add_argument("--output", type=str,
                     default="sparse_agreement.json")

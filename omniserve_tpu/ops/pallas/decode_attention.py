@@ -398,9 +398,10 @@ def _sp_kernel(
             flat = buf[slot]                           # [H, G*R, D] u8
             d_ = flat.shape[2]
             if not kv4:                                # kv8: rows ARE
+                # u8 -> i32 -> bf16 (no direct u8->bf16 cast on TPU)
                 return flat.reshape(                   # tokens, every u8
                     n_heads * lanes, d_                # exact in bf16
-                ).astype(jnp.bfloat16)
+                ).astype(jnp.int32).astype(jnp.bfloat16)
             w32 = pltpu.bitcast(
                 flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
             )
@@ -462,9 +463,9 @@ def _sp_kernel(
             m_next = jnp.maximum(m_curr, qk_new4) if fused else m_curr
         else:
             m_prev = m_ref[...].reshape(
-                n_heads, n_rep, 128)[:, :, :1, None]   # [H, n_rep, 1, 1]
+                n_heads, n_rep, 128)[:, :, :1].reshape(n_heads, n_rep, 1, 1)   # [H, n_rep, 1, 1]
             l_prev = l_ref[...].reshape(
-                n_heads, n_rep, 128)[:, :, :1, None]
+                n_heads, n_rep, 128)[:, :, :1].reshape(n_heads, n_rep, 1, 1)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
         pexp = jnp.where(valid, jnp.exp(qk - m_next), 0.0)
@@ -483,10 +484,10 @@ def _sp_kernel(
         else:
             l_next = alpha * l_prev + l_curr
             m_ref[...] = jnp.broadcast_to(
-                m_next[..., 0], (n_heads, n_rep, 128)
+                m_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
             l_ref[...] = jnp.broadcast_to(
-                l_next[..., 0], (n_heads, n_rep, 128)
+                l_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
 
         if kv_zeros:
@@ -516,25 +517,25 @@ def _sp_kernel(
                 preferred_element_type=jnp.float32,
             )
             for h in range(n_heads)], axis=0)          # [H, n_rep, D]
-        contrib = (pv - corr[..., 0]) * v_scale
+        contrib = (pv - corr.reshape(n_heads, n_rep, 1)) * v_scale
         if single:
             if fused:
-                contrib = contrib + pexp_new[..., 0] * v_dq_b
+                contrib = contrib + pexp_new.reshape(n_heads, n_rep, 1) * v_dq_b
             o_ref[0] = (
-                contrib / jnp.maximum(l_next[..., 0], 1e-10)
+                contrib / jnp.maximum(l_next.reshape(n_heads, n_rep, 1), 1e-10)
             ).astype(o_ref.dtype)
             if with_lse:
                 m_out[0] = jnp.broadcast_to(
-                    m_next[..., 0], (n_heads, n_rep, 128)
+                    m_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
                 )
                 l_out[0] = jnp.broadcast_to(
-                    l_next[..., 0], (n_heads, n_rep, 128)
+                    l_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
                 )
         else:
             d_ = acc_ref.shape[-1]
             acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
             acc_ref[...] = (
-                acc3 * alpha[..., 0] + contrib
+                acc3 * alpha.reshape(n_heads, n_rep, 1) + contrib
             ).reshape(n_heads * n_rep, d_)
 
     if single:
@@ -900,9 +901,10 @@ def _sp_kernel_ph(
             flat = buf[slot]
             d_ = flat.shape[2]
             if not kv4:                                # kv8: rows ARE
+                # u8 -> i32 -> bf16 (no direct u8->bf16 cast on TPU)
                 return flat.reshape(                   # tokens, every u8
                     n_heads * lanes, d_                # exact in bf16
-                ).astype(jnp.bfloat16)
+                ).astype(jnp.int32).astype(jnp.bfloat16)
             w32 = pltpu.bitcast(
                 flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
             )
@@ -966,9 +968,9 @@ def _sp_kernel_ph(
             m_next = m_curr
         else:
             m_prev = m_ref[...].reshape(
-                n_heads, n_rep, 128)[:, :, :1, None]
+                n_heads, n_rep, 128)[:, :, :1].reshape(n_heads, n_rep, 1, 1)
             l_prev = l_ref[...].reshape(
-                n_heads, n_rep, 128)[:, :, :1, None]
+                n_heads, n_rep, 128)[:, :, :1].reshape(n_heads, n_rep, 1, 1)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
         pexp = jnp.where(valid, jnp.exp(qk - m_next), 0.0)
@@ -979,10 +981,10 @@ def _sp_kernel_ph(
         else:
             l_next = alpha * l_prev + l_curr
             m_ref[...] = jnp.broadcast_to(
-                m_next[..., 0], (n_heads, n_rep, 128)
+                m_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
             l_ref[...] = jnp.broadcast_to(
-                l_next[..., 0], (n_heads, n_rep, 128)
+                l_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
 
         if kv_zeros:
@@ -1011,16 +1013,16 @@ def _sp_kernel_ph(
                 preferred_element_type=jnp.float32,
             )
             for h in range(n_heads)], axis=0)          # [H, n_rep, D]
-        contrib = (pv - corr[..., 0]) * v_scale
+        contrib = (pv - corr.reshape(n_heads, n_rep, 1)) * v_scale
         if single:
             o_ref[0] = (
-                contrib / jnp.maximum(l_next[..., 0], 1e-10)
+                contrib / jnp.maximum(l_next.reshape(n_heads, n_rep, 1), 1e-10)
             ).astype(o_ref.dtype)
         else:
             d_ = acc_ref.shape[-1]
             acc3 = acc_ref[...].reshape(n_heads, n_rep, d_)
             acc_ref[...] = (
-                acc3 * alpha[..., 0] + contrib
+                acc3 * alpha.reshape(n_heads, n_rep, 1) + contrib
             ).reshape(n_heads * n_rep, d_)
 
     if single:
