@@ -627,9 +627,15 @@ def paged_mqa_attention_single_pass(
     # Pages per chunk: per-grid-step fixed cost dominates at small chunks,
     # so cover the WHOLE page list in one chunk up to ~2K tokens (VMEM for
     # the double-buffered pages: 4*H*g*page/2 bytes per side). g*page must
-    # be a 128-multiple (lane-tiled scale blocks).
+    # be a 128-multiple (lane-tiled scale blocks). The VMEM cap scales
+    # with the kv head count: MHA models (hkv 32) carry 4x the buffer
+    # bytes per page of GQA-8 and blow the 16 MB scoped limit at g=13+.
     quantum = max(1, 128 // page_size)
-    cap = max(quantum, 2048 // page_size)
+    rows_pg = page_size // 2 if pool.k_data.shape[3] * 2 == page_size \
+        else page_size
+    per_page = 4 * hkv * rows_pg * d + 2 * 4 * 4 * hkv * page_size
+    cap = max(quantum, min(2048 // page_size,
+                           (9 * 2 ** 20) // per_page))
     g = min(cap, quantum * _cdiv(tp, quantum))
     n_chunks = _cdiv(tp, g)
     pad = n_chunks * g - tp

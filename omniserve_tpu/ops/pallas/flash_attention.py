@@ -165,6 +165,10 @@ def flash_prefill(
     t, hq, d = q.shape
     hkv = k.shape[1]
     n_rep = hq // hkv
+    # K/V blocks are [hkv, block_k, d]: the GQA-tuned default (hkv 8,
+    # block_k 256) is 4x larger for MHA models (llama2: hkv 32) and blows
+    # the 16 MB scoped-VMEM limit — scale block_k with the kv head count
+    block_k = min(block_k, max(128, block_k * 8 // hkv))
     block_q = min(block_q, t)
     block_k = min(block_k, t)
     assert t % block_q == 0 and t % block_k == 0
