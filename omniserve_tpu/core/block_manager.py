@@ -40,11 +40,19 @@ class AllocStatus(enum.Enum):
 class BlockAllocator:
     """Ref-counted free-list allocator over a fixed pool of pages."""
 
-    def __init__(self, device: str, num_blocks: int) -> None:
+    def __init__(
+        self,
+        device: str,
+        num_blocks: int,
+        reserved_ids: Optional[List[int]] = None,
+    ) -> None:
         self.device = device
         self.num_blocks = num_blocks
         self._blocks = [PhysicalBlock(device, i) for i in range(num_blocks)]
-        self._free: List[int] = list(range(num_blocks - 1, -1, -1))
+        reserved = set(reserved_ids or ())
+        self._free: List[int] = [
+            i for i in range(num_blocks - 1, -1, -1) if i not in reserved
+        ]
 
     def allocate(self) -> int:
         if not self._free:
@@ -97,20 +105,33 @@ class BaseBlockManager:
         is_streaming: bool = False,
         sink_blocks: int = 0,
         local_blocks: int = 0,
+        sp_shards: int = 1,
     ) -> None:
         self.page_size = page_size
-        # The TOP page index is reserved as the pools' TRASH page (the
-        # Pallas decode-append kernel routes inactive tokens' writes there)
-        # and is never handed out.
-        num_device_blocks = max(1, num_device_blocks - 1)
-        self.num_device_blocks = num_device_blocks
-        self.watermark_blocks = int(watermark * num_device_blocks)
+        # The TOP page index of EVERY sequence-parallel shard is reserved
+        # as that shard's TRASH page: inside shard_map the Pallas decode
+        # append sees only its local slice of the pool and routes inactive
+        # (-1) tokens' writes to its LOCAL last page
+        # (ops/pallas/kv_append.py), i.e. global page (r+1)*P/sp - 1 on
+        # rank r. Those ids must never be handed out. With sp_shards == 1
+        # this reserves exactly the global top page.
+        pool_size = num_device_blocks
+        shard = max(1, pool_size // max(1, sp_shards))
+        reserved = sorted({
+            min(pool_size, (r + 1) * shard) - 1
+            for r in range(max(1, sp_shards))
+        })
+        self.trash_page_ids = reserved
+        self.num_device_blocks = max(1, pool_size - len(reserved))
+        self.watermark_blocks = int(watermark * self.num_device_blocks)
         self.is_streaming = is_streaming
         self.sink_blocks = sink_blocks
         self.local_blocks = local_blocks
         if is_streaming and local_blocks < 1:
             raise ValueError("streaming pool needs local_blocks >= 1")
-        self.device_allocator = BlockAllocator(Device.GPU, num_device_blocks)
+        self.device_allocator = BlockAllocator(
+            Device.GPU, pool_size, reserved_ids=reserved
+        )
         self.cpu_allocator = BlockAllocator(Device.CPU, num_cpu_blocks)
         self.block_tables: Dict[int, BlockTable] = {}
         # Swapped-out tables live on the CPU allocator's id space.
@@ -345,10 +366,12 @@ class BlockSpaceManager:
         streaming_sink_blocks: int = 0,
         streaming_local_blocks: int = 0,
         enable_streaming: bool = False,
+        sp_shards: int = 1,
     ) -> None:
         self.page_size = page_size
         self.retrieval = BaseBlockManager(
-            page_size, num_retrieval_blocks, num_retrieval_cpu_blocks, watermark
+            page_size, num_retrieval_blocks, num_retrieval_cpu_blocks,
+            watermark, sp_shards=sp_shards,
         )
         self.streaming: Optional[BaseBlockManager] = None
         if enable_streaming:

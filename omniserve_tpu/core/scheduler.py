@@ -83,6 +83,7 @@ class Scheduler:
         streaming_sink_blocks: int = 0,
         streaming_local_blocks: int = 0,
         enable_streaming: bool = False,
+        sp_shards: int = 1,
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
@@ -98,6 +99,7 @@ class Scheduler:
             streaming_sink_blocks=streaming_sink_blocks,
             streaming_local_blocks=streaming_local_blocks,
             enable_streaming=enable_streaming,
+            sp_shards=sp_shards,
         )
         # shared-prompt-prefix registry (reference scheduler.py:120-121);
         # the engine attaches pool entries to groups via add_request's

@@ -113,6 +113,10 @@ class LLMEngine:
                 else 0
             ),
             enable_streaming=enable_streaming,
+            sp_shards=(
+                parallel_config.sequence_parallel_size
+                if parallel_config else 1
+            ),
         )
 
         # non-IFB static-batch state

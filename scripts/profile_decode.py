@@ -41,8 +41,10 @@ def run_steps(out_dir: str, steps: int) -> None:
     )
     max_len = ctx + steps + 8 + spec.page_size
     blocks_per_seq = (max_len + spec.page_size - 1) // spec.page_size
-    # engine parity: block tables are padded to pow-2 width (16 at the
-    # bench shapes); PROFILE_TABLE_W=16 reproduces that padding here
+    # engine parity: block tables are padded to a 2-bit-mantissa ceiling
+    # (model_runner._table_width: 4,6,8,...,12,14,16,20,...); at the bench
+    # shapes live pages grow 9->13 over the 512-token decode, so widths
+    # run 10->14 — PROFILE_TABLE_W=14 reproduces the end-of-run padding
     blocks_per_seq = int(
         os.environ.get("PROFILE_TABLE_W", str(blocks_per_seq))
     )

@@ -65,6 +65,29 @@ class TestBaseBlockManager:
         mgr.free(seq)
         assert mgr.get_num_free_device_blocks() == 100
 
+    def test_sp_shards_reserve_per_rank_trash_pages(self):
+        # sp=2 over a 10-page pool: each rank's LOCAL top page (global 4
+        # and 9) is the shard_map decode-append trash target and must
+        # never be handed out (ops/pallas/kv_append.py routes -1 tokens
+        # to local page P/sp - 1 on every rank).
+        mgr = BaseBlockManager(
+            PAGE, num_device_blocks=10, num_cpu_blocks=0, sp_shards=2
+        )
+        assert mgr.trash_page_ids == [4, 9]
+        assert mgr.num_device_blocks == 8
+        got = {mgr.device_allocator.allocate() for _ in range(8)}
+        assert got == {0, 1, 2, 3, 5, 6, 7, 8}
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            mgr.device_allocator.allocate()
+
+    def test_default_reserves_single_global_trash_page(self):
+        mgr = BaseBlockManager(PAGE, num_device_blocks=5, num_cpu_blocks=0)
+        assert mgr.trash_page_ids == [4]
+        got = {mgr.device_allocator.allocate() for _ in range(4)}
+        assert 4 not in got
+
     def test_watermark_admission(self):
         mgr = BaseBlockManager(
             PAGE, num_device_blocks=101, num_cpu_blocks=10, watermark=0.05

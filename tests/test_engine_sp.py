@@ -82,10 +82,14 @@ def test_sp_composes_with_tp(tiny_model_dir):
         pytest.skip("needs 4 virtual devices")
     want = run_engine(tiny_model_dir, sp=1, tp=2)
     got = run_engine(tiny_model_dir, sp=2, tp=2)
-    assert set(got) == set(want)
     # near-tie greedy flips are legitimate under psum reordering (see
-    # test_engine_tp): compare a prefix window, allow one flip
+    # test_engine_tp); compare the FULL 20-token sequences and count
+    # positional mismatches (a flipped token also perturbs the suffix,
+    # so allow a small divergence tail rather than demanding identity)
     for rid in want:
-        a, b = got[rid][:4], want[rid][:4]
-        mismatches = sum(x != y for x, y in zip(a, b))
-        assert mismatches <= 1, (rid, got[rid], want[rid])
+        a, b = got[rid], want[rid]
+        assert len(a) == len(b) == 20, (rid, a, b)
+        first_diff = next(
+            (i for i, (x, y) in enumerate(zip(a, b)) if x != y), len(a)
+        )
+        assert first_diff >= 10, (rid, got[rid], want[rid])
