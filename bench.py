@@ -85,6 +85,10 @@ def engine_bench() -> None:
         max_num_seqs=batch,
         max_num_batched_tokens=max(262144, batch * prompt_len),
         num_retrieval_blocks=blocks_per_seq * batch + 2,
+        # w8a8 halves the 1.05 GB/step bf16 head read (~0.6 ms at batch
+        # 128); accuracy delta quantified in eval/quant_fidelity (the
+        # reference keeps the head fp16 — set BENCH_LM_HEAD=fp16 to match)
+        lm_head_precision=os.environ.get("BENCH_LM_HEAD", "w8a8"),
     ))
     t_build = time.time() - t0
 

@@ -66,6 +66,7 @@ class ModelConfig:
         revision: Optional[str] = None,
         code_revision: Optional[str] = None,
         download_dir: Optional[str] = None,
+        lm_head_precision: str = "fp16",
     ) -> None:
         self.model = model
         self.precision = precision
@@ -88,6 +89,15 @@ class ModelConfig:
             )
         self.kv_quant_granularity = kv_quant_granularity
         self.kv_zeros = kv_quant_granularity == "fine_grained"
+        # fp16 (reference parity: the CUDA build keeps the head fp16) or
+        # w8a8 (per-channel int8 head; halves the decode head read)
+        if lm_head_precision not in ("fp16", "w8a8"):
+            raise ValueError(
+                f"lm_head_precision must be fp16|w8a8, got "
+                f"{lm_head_precision}"
+            )
+        self.lm_head_precision = lm_head_precision
+        self.lm_head_bits = 8 if lm_head_precision == "w8a8" else 16
 
         self.revision = revision
         self.code_revision = code_revision

@@ -36,6 +36,8 @@ class EngineArgs:
     quant_path: Optional[str] = None
     group_size: int = -1
     kv_quant_granularity: str = "fine_grained"
+    # fp16 = reference parity; w8a8 halves the decode lm_head read
+    lm_head_precision: str = "fp16"
     load_format: str = "auto"
     trust_remote_code: bool = True
     max_model_len: Optional[int] = None
@@ -157,6 +159,10 @@ class EngineArgs:
         parser.add_argument("--max-paddings", type=int, default=256,
                             help="max padding tokens admitted into one "
                                  "prefill batch")
+        parser.add_argument("--lm-head-precision", type=str,
+                            default="fp16", choices=["fp16", "w8a8"],
+                            help="lm_head GEMM precision (fp16 = reference "
+                                 "parity; w8a8 halves the decode head read)")
         parser.add_argument("--precision", type=str, default="w16a16kv16",
                             help="e.g. w4a8kv4, w4a8kv8, w8a8kv8, w16a16kv8")
         parser.add_argument("--quant-path", type=str, default=None)
@@ -285,6 +291,7 @@ class EngineArgs:
             revision=self.revision,
             code_revision=self.code_revision,
             download_dir=self.download_dir,
+            lm_head_precision=self.lm_head_precision,
         )
         sp_attn_config: Optional[SpAttnConfig] = None
         if self.sparse_context_mode or self.sparse_decode_mode:

@@ -93,6 +93,13 @@ class LlamaSpec:
     ctx_sink: int = 128
     ctx_local: int = 8192
     tie_word_embeddings: bool = False
+    # 8 = W8A8 lm_head (per-channel int8 weights, per-token int8 acts):
+    # halves the decode step's 1.05 GB bf16 head read (~0.6 ms at batch
+    # 128). The reference keeps the head fp16, so default stays 16; flip
+    # with --lm-head-precision w8a8 (accuracy delta quantified in
+    # eval/quant_fidelity — the head is the last GEMM before softmax and
+    # int8 logit noise ~0.5% is far below the 4-bit body's)
+    lm_head_bits: int = 16
     # QKV projection bias (Qwen-1.5/Qwen2 family; o_proj stays bias-free,
     # reference serves Qwen-1.5-72B in its headline table README.md:269)
     attn_bias: bool = False
@@ -207,6 +214,7 @@ class LlamaSpec:
             kv_zeros=model_config.kv_zeros,
             group_size=model_config.group_size,
             tie_word_embeddings=getattr(hf, "tie_word_embeddings", False),
+            lm_head_bits=getattr(model_config, "lm_head_bits", 16),
             attn_bias=(
                 bool(getattr(hf, "attention_bias", False))
                 or getattr(hf, "model_type", "") == "qwen2"
@@ -411,6 +419,10 @@ def make_random_packed_params(
         "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank,
                                     tp_size),
     }
+    if spec.lm_head_bits == 8:
+        params["lm_head"], params["lm_head_scale"] = _quantize_lm_head(
+            params["lm_head"]
+        )
     return params
 
 
@@ -458,10 +470,22 @@ def make_random_params(
         "lm_head": jnp.asarray(w(D, spec.vocab), jnp.bfloat16),
         "layers": quantize_layer_weights(fp_layers, spec, tp_size),
     }
+    if spec.lm_head_bits == 8:
+        params["lm_head"], params["lm_head_scale"] = _quantize_lm_head(
+            params["lm_head"]
+        )
     params["attn_meta"] = make_attn_meta(
         spec, retrieval_flags, head_rank, tp_size
     )
     return params
+
+
+def _quantize_lm_head(w_bf16):
+    """[D, V] bf16 -> (int8 [D, V], f32 scale [V]) per-channel symmetric."""
+    wf = w_bf16.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
+    q = jnp.clip(jnp.rint(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def make_attn_meta(
@@ -1140,10 +1164,23 @@ def llama_forward(
         h_last = h[batch.last_token_idx]  # [B, D]
     else:
         h_last = h
-    logits = jnp.dot(
-        h_last.astype(jnp.bfloat16), params["lm_head"],
-        preferred_element_type=jnp.float32,
-    )
+    if spec.lm_head_bits == 8:
+        # W8A8 head: per-token dynamic act quant + per-channel int8
+        # weights (same contract as the body GEMMs' W8A8 path)
+        from omniserve_tpu.ops import quantization as qz
+
+        h_i8, h_scale, _ = qz.quantize_activations(
+            h_last.astype(jnp.float32)
+        )
+        logits = w8a8_matmul(
+            h_i8, params["lm_head"], params["lm_head_scale"], h_scale,
+            out_dtype=jnp.float32,
+        )
+    else:
+        logits = jnp.dot(
+            h_last.astype(jnp.bfloat16), params["lm_head"],
+            preferred_element_type=jnp.float32,
+        )
     if not use_sparse:
         new_page_idxes = None
     return logits, retrieval_pool, streaming_pool, new_page_idxes

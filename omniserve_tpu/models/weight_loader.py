@@ -117,6 +117,12 @@ def load_packed_params(
         "layers": layers,
         "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank),
     }
+    if spec.lm_head_bits == 8:
+        from omniserve_tpu.models.llama import _quantize_lm_head
+
+        params["lm_head"], params["lm_head_scale"] = _quantize_lm_head(
+            params["lm_head"]
+        )
     kv_scales = None
     if "kv_pt_scales" in z:
         pt = jnp.asarray(z["kv_pt_scales"])  # [L, 2]
@@ -254,6 +260,12 @@ def load_llama_params(
         "attn_meta": make_attn_meta(spec, retrieval_flags, head_rank,
                                     tp_size),
     }
+    if spec.lm_head_bits == 8:
+        from omniserve_tpu.models.llama import _quantize_lm_head
+
+        params["lm_head"], params["lm_head_scale"] = _quantize_lm_head(
+            params["lm_head"]
+        )
     kv_scales = None
     if has_pt_scales and not model_config.kv_zeros:
         kv_scales = (jnp.asarray(k_pt), jnp.asarray(v_pt))

@@ -10,19 +10,20 @@ axis), mirroring the reference's per-layer pools sharing one block table.
 
 Pool layout (per pool — retrieval or streaming):
 
-- kv4 (packed):  data  [L, P, H, page/2, D] uint8 in the INTERLEAVED
-  layout: token t maps to (byte_row, nibble) via ``kv4_slot_to_row_nibble``
-  — with Bk = page/4 token blocks: i = t // Bk, j = t % Bk, byte_row =
-  2*j + (i % 2), high-nibble iff i >= 2. This ordering is chosen so the
-  decode kernel's packed-domain unpack (bitcast u8->i32, nibble masks,
-  exponent-magic ``| 0x4300`` bitcast to bf16 — little-endian sublane
-  packing, verified on hardware) yields four row-blocks whose rows are
-  EXACTLY tokens [i*Bk, (i+1)*Bk) in order, with zero per-element type
-  conversions. ``kv4_unpack_order(page)`` gives the token permutation the
-  simpler cat([lo, hi]) unpack produces.
+- kv4 (packed):  data  [L, P, H, page/2, D] uint8 in the HALF-SPLIT
+  layout (same scheme as the GEMM weight packing, ops/quantization.py):
+  token t maps to byte_row = t % (page/2), high-nibble iff t >= page/2
+  (``kv4_slot_to_row_nibble``). This ordering is chosen so the decode
+  kernel's packed-domain 2-stream unpack (bitcast u8->i32, ``& 0x0F0F0F0F``
+  / ``>> 4``, bitcast straight back to i8 — little-endian sublane packing,
+  verified on hardware) yields two row-blocks that are EXACTLY tokens
+  [0, page/2) and [page/2, page) in order: int8 MXU operands with two VPU
+  ops per word and no sublane shuffles. ``kv4_unpack_order(page)`` is the
+  identity under this layout (kept for kernels that consult it).
 - kv8:           data  [L, P, H, page, D] uint8 (biased +128 for per-tensor)
 - kv16:          data  [L, P, H, page, D] bfloat16 (no scales)
-- fine-grained scales/zeros: [L, P, H, page] float32 each
+- fine-grained scale planes: [L, P, 4, H, page] float32 (folded; see
+  ``KVPool``)
 - K min/max sub-chunk stats (retrieval pool, sparse decode):
   [L, P, H, 2*n_sub, D] float32 — row 2s = sub-chunk s min, row 2s+1 = max
   (f32: the selector's upper bounds accumulate against running extrema).
@@ -49,9 +50,8 @@ class KVPool(NamedTuple):
     """One KV pool (all layers). Optional fields are None when unused.
 
     The four fine-grained quant-param planes live INTERLEAVED in one array
-    ``kv_scales[L, P, 4, H, page]`` and are stored PRE-FOLDED for the
-    single-pass kv4 decode kernel (its magic-bitcast unpack yields
-    128 + nibble):
+    ``kv_scales[L, P, 4, H, page]`` (f32) and are stored PRE-FOLDED
+    for the single-pass decode kernel's rank-1 corrections:
 
         plane 0: k_scale
         plane 1: k_scale * (k_zero + 128)
@@ -81,10 +81,10 @@ class KVPool(NamedTuple):
     v_scale_per_tensor: Optional[jnp.ndarray]
 
     def _plane(self, i):
-        # [L, P, H, page] reference-semantics view of plane i
+        # [L, P, H, page] f32 reference-semantics view of plane i
         if self.kv_scales is None:
             return None
-        return self.kv_scales[:, :, i]
+        return self.kv_scales[:, :, i].astype(jnp.float32)
 
     @property
     def k_scale(self):
@@ -173,6 +173,10 @@ def make_kv_pool(
     k_data = jnp.zeros(data_shape, data_dtype)
     v_data = jnp.zeros(data_shape, data_dtype)
     fine_grained = kv_bits < 16 and kv_zeros
+    # planes stored f32: a bf16 attempt (r5) halved the DMA bytes but the
+    # bf16 VMEM tiling (16,128 with sublane pairing) turned the plane
+    # copies into strided descriptor storms — kernel time went 384 ->
+    # 500 us/call at B=128 W=14. f32 tiles are flat for the DMA engine.
     scale = (
         jnp.zeros((L, P, 4, H, page_size), jnp.float32)
         if fine_grained else None
@@ -276,29 +280,23 @@ def ring_token_positions(
 def kv4_slot_to_row_nibble(slot, page_size: int):
     """Token slot within a page -> (byte_row, is_high_nibble) for kv4.
 
-    Interleaved layout (see module docstring): with Bk = page/4,
-    i = slot // Bk, j = slot % Bk -> row 2*j + (i % 2), nibble i // 2.
-    Works on python ints, numpy, and traced jax values.
+    Half-split layout (see module docstring): row = slot % (page/2),
+    high nibble iff slot >= page/2. Works on python ints, numpy, and
+    traced jax values.
     """
-    bk = page_size // 4
-    i = slot // bk
-    j = slot % bk
-    return 2 * j + (i % 2), i // 2
+    half = page_size // 2
+    return slot % half, slot // half
 
 
 def kv4_unpack_order(page_size: int):
     """Token index held at unpacked lane q of a cat([lo, hi]) kv4 unpack.
 
-    A plain unpack (lo = b & 0xF rows, then hi = b >> 4 rows) produces
-    page lanes q = half * (page/2) + byte_row; lane q holds token
-    ``order[q]``. Kernels that unpack this way use this permutation for
-    their masks/scales instead of assuming sequential token order.
+    Under the half-split layout a plain unpack (lo = b & 0xF rows, then
+    hi = b >> 4 rows) produces tokens in sequential order — the identity
+    permutation. Kept so kernels that consult the order stay
+    layout-agnostic.
     """
-    bk = page_size // 4
-    q = np.arange(page_size)
-    half = q // (page_size // 2)
-    r = q % (page_size // 2)
-    return (2 * half + (r % 2)) * bk + r // 2
+    return np.arange(page_size)
 
 
 def _pack_slot(slot: jnp.ndarray, page_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -434,7 +432,9 @@ def append_kv(
             cur = rows2d[jnp.minimum(row_idx, n_rows - 1)]  # [T, 4H, page]
             lane = jnp.arange(page)[None, None, :]
             hit = lane == slots[:, None, None]
-            new = jnp.where(hit, vals.reshape(t, 4 * h_, 1), cur)
+            new = jnp.where(
+                hit, vals.reshape(t, 4 * h_, 1).astype(cur.dtype), cur
+            )
             rows2d = rows2d.at[row_idx.reshape(-1)].set(
                 new.reshape(t * 4 * h_, page), mode="drop"
             )
@@ -483,7 +483,7 @@ def _prefill_scale_scatter(kv_scales, layer, safe_pages, slots, vals, page):
     for plane in range(4):
         out = out.at[
             layer, safe_pages, plane, :, slots
-        ].set(vals[:, plane, :], mode="drop")
+        ].set(vals[:, plane, :].astype(kv_scales.dtype), mode="drop")
     return out
 
 

@@ -8,21 +8,29 @@ read from HBM exactly ONCE (the reference MMHA's single-pass structure,
 kernels/csrc/fused_attention/.../decoderMaskedMultiheadAttentionTemplate.hpp,
 reached here with Pallas ``make_async_copy`` instead of cp.async).
 
-Unpack is done in the PACKED int32 domain with zero per-element type
-conversions (the round-1 profile showed the astype chain dominating the
-kernel): bytes are bitcast u8->i32 (little-endian sublane packing,
-verified on hardware), each of the four nibble streams is extracted with
-one shift+mask, OR'd with the bf16 exponent magic 0x4300 and bitcast to
-bf16, giving 128 + nibble EXACTLY in bf16. The +128 bias and the
-quantization zero-point are folded into one rank-1 correction:
+Compute runs on the INT8 MXU (round 5): the bf16 dots at decode's skinny
+M = n_rep measured ~10x their int8 time (scripts/microbench_attn.py,
+MB_COMPUTE=dots vs dots_i8), leaving the kernel compute-bound at ~133%
+of its DMA floor. K/V codes are exact small ints, so only two new
+roundings enter vs the reference's fp16 MMHA math: q is dynamically
+quantized per (head, rep) row (q_i8 = rint(q/qs), qs = amax/127) and the
+softmax weights p per (head, rep) row for the PV dot. Unpack stays in
+the packed int32 domain with zero per-element conversions: bytes bitcast
+u8->i32 (little-endian sublane packing, verified on hardware), the two
+nibble streams extracted with ``& 0x0F0F0F0F`` / ``>> 4`` and bitcast
+straight back to i8; kv8 rows are XOR'd 0x80 so biased u8 storage lands
+in two's complement exactly. Every zero-point / bias correction is a
+rank-1 term computed from the SAME integers the MXU consumed:
 
-    k_fp = (A - (z + 128)) * s,  A = 128 + k_nib
-    q.k  = s * (q.A) - s*(z+128) * sum(q)
+    k_fp = (A - z) * s,  A = k_nib (i8 exact)
+    q.k  = qs * (s * (q_i8.A) + (s*128 - s*(z+128)) * sum(q_i8))
 
-The interleaved kv4 page layout (ops/paged_kv.kv4_slot_to_row_nibble) is
-chosen so the four nibble streams are exactly token blocks [i*Bk,(i+1)*Bk)
-in order, Bk = page/4. With G = 128/Bk pages per chunk every block is a
-128-lane row group and all lane slices are tile-aligned.
+The HALF-SPLIT kv4 page layout (ops/paged_kv.kv4_slot_to_row_nibble:
+row = slot %% page/2, hi nibble iff slot >= page/2 — the GEMM weight
+packing scheme) makes the cat([lo, hi]) streams tokens [0, page/2) and
+[page/2, page) IN ORDER: token order is restored by a plain sublane
+concat, no shuffles (the interleaved r1-r4 layout needed a (32,2)
+sublane transpose in the i8 domain, which Mosaic lowers ~2 ms/call).
 
 Scale/zero planes ride the SAME in-kernel DMA pipeline as the pages: each
 page's [4, H, page] f32 plane block lands at lane window [i*page, (i+1)*
@@ -48,9 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 from omniserve_tpu.ops.paged_kv import KVPool
 
 MASK_VALUE = -1e37
-_MAGIC = 0x43004300          # bf16 0x4300 = 128.0; |nibble -> 128 + v
-_NIBBLE_SHIFTS = (0, 8, 4, 12)  # token blocks 0..3 (see module docstring)
-DMA_GROUP = 2                # pages per predicated DMA group (see issue())
+DMA_GROUP = 7                # pages per predicated DMA group (see issue();
+#                              r5 sweep: 390 us @2 -> 384 us @7, B=128 W=14)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -152,10 +159,7 @@ def _sp_kernel(
     nb = pl.num_programs(0)
     kv4 = kv_bits == 4
     rows = page_size // 2 if kv4 else page_size  # byte rows per page
-    bk = page_size // 4            # tokens per nibble block (kv4)
-    # kv4 unpacks to 128+v (magic bias; per-tensor storage is q+8 -> 136+q
-    # on the MXU); kv8 rows convert verbatim (q+128 per-tensor)
-    pt_bias = 136.0 if kv4 else 128.0
+    bk = page_size // 4            # quarter-page (lane/chunk geometry)
     step = b * n_chunks + j
     slot = jax.lax.rem(step, 2)
 
@@ -302,9 +306,10 @@ def _sp_kernel(
         i_star = tgt_pos - c_star * g      # page position within the chunk
         phys_tgt = sel_phys_ref[b, jnp.maximum(tgt_pos, 0)]
         if kv4:
-            i_blk = tslot // bk
-            drow = 2 * jax.lax.rem(tslot, bk) + jax.lax.rem(i_blk, 2)
-            is_hi = i_blk >= 2
+            # half-split: row = slot % (page/2), hi nibble iff slot >= it
+            half_pg = page_size // 2
+            drow = jax.lax.rem(tslot, half_pg)
+            is_hi = tslot >= half_pg
         else:
             drow = tslot
             is_hi = jnp.asarray(False)
@@ -380,8 +385,9 @@ def _sp_kernel(
                 ], axis=0)                             # [4, H, 1]
                 wsc_buf[...] = jnp.where(
                     lane_sc == tslot, vals,
-                    sc_buf[slot, jnp.minimum(i_star, g - 1)],
-                )
+                    sc_buf[slot, jnp.minimum(i_star, g - 1)].astype(
+                        jnp.float32),
+                ).astype(wsc_buf.dtype)
             for c in wb_copies():
                 c.start()
 
@@ -390,71 +396,88 @@ def _sp_kernel(
 
     @pl.when(any_valid)
     def _compute():
-        def nib_tokens(buf):
-            # ONE unpack chain for ALL heads: [H, G*R, D] u8 -> the 4 bf16
-            # nibble streams, interleaved back to PAGE-MAJOR TOKEN ORDER
-            # (rows (h, p, t)) so the scale planes can be used in their
-            # natural per-page layout. One dot per head covers the chunk.
+        # ---- int8 MXU compute path ----
+        # K/V nibbles are EXACT small ints; the dots run on the int8 MXU
+        # (4x the bf16 rate, and the M=n_rep bf16 dots measured ~10x
+        # their own int8 time at B=128 G=14 — scripts/microbench_attn.py
+        # MB_COMPUTE=dots vs dots_i8). Two new roundings vs the old bf16
+        # path: q is dynamically quantized per (head, rep) row and the
+        # softmax weights p per (head, rep) row; every zero-point /
+        # bias correction below is computed from the SAME integer values
+        # the MXU consumed, so the rank-1 algebra stays exact.
+        def nib_tok_i8(buf):
+            # [H, G*R, D] u8 -> [H*G*page, D] i8 token-ordered rows.
+            # kv4 half-split (ops/paged_kv.kv4_slot_to_row_nibble): lo
+            # nibbles = tokens [0, page/2), hi = [page/2, page) -- two
+            # masks and two bitcasts, rows already in token order.
             flat = buf[slot]                           # [H, G*R, D] u8
             d_ = flat.shape[2]
-            if not kv4:                                # kv8: rows ARE
-                # u8 -> i32 -> bf16 (no direct u8->bf16 cast on TPU)
-                return flat.reshape(                   # tokens, every u8
-                    n_heads * lanes, d_                # exact in bf16
-                ).astype(jnp.int32).astype(jnp.bfloat16)
             w32 = pltpu.bitcast(
-                flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
-            )
-            streams = []
-            for sh in _NIBBLE_SHIFTS:
-                w = w32 if sh == 0 else (w32 >> sh)
-                streams.append(pltpu.bitcast(
-                    (w & 0x000F000F) | _MAGIC, jnp.bfloat16
-                ).reshape(n_heads, g, bk, d_))
-            # concat on the within-page token-block axis: (h, p, i*bk+j)
-            return jnp.concatenate(streams, axis=2).reshape(
-                n_heads * lanes, d_
-            )                                          # [H*g*page, D]
+                flat.reshape(n_heads * flat.shape[1], d_), jnp.int32)
+            if not kv4:
+                # kv8: u8 rows ARE tokens; flip the top bit so biased
+                # storage (q+128 per-tensor, asym code 0..255 fine) lands
+                # in two's complement EXACTLY: i8 value = stored - 128
+                return pltpu.bitcast(
+                    w32 ^ jnp.int32(-0x7F7F7F80), jnp.int8
+                )  # 0x80808080 as signed i32
+            lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+            hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+            half = flat.shape[1] // g                  # rows per page
+            return jnp.concatenate([
+                lo.reshape(n_heads, g, half, d_),
+                hi.reshape(n_heads, g, half, d_),
+            ], axis=2).reshape(n_heads * lanes, d_)
 
-        k_tok = nib_tokens(k_buf)
-        v_tok = nib_tokens(v_buf)
+        k_tok = nib_tok_i8(k_buf)
+        v_tok = nib_tok_i8(v_buf)
 
-        # Head-BATCHED [H, n_rep, G, T] softmax/scale math: kv heads pack
-        # the VPU sublanes, pages stay a separate axis so the planes keep
-        # their natural [H, 1, G, T] layout (no lane-merge relayout) and
-        # reductions run page-then-token. Dots stay per-head (the MXU
-        # contracts each head's D separately).
-        q_bf = q_ref[0, :, :n_rep].astype(jnp.bfloat16)  # [H, n_rep, D]
-        # the rank-1 corrections must see EXACTLY the values the MXU dots
-        # see — with the +128 magic bias any f32-vs-bf16 operand mismatch
-        # is amplified ~128x by cancellation
-        q_sum = jnp.sum(
-            q_bf.astype(jnp.float32), axis=2, keepdims=True
+        # i8 operand bias: kv4 stores v (fine) / q+8 (per-tensor) in the
+        # nibble; kv8's top-bit flip shifts stored-128
+        beta = 0.0 if kv4 else 128.0
+        q_f32c = q_ref[0, :, :n_rep].astype(jnp.float32)  # [H, n_rep, D]
+        qs = jnp.max(jnp.abs(q_f32c), axis=2, keepdims=True) / 127.0
+        qs = jnp.maximum(qs, 1e-20)
+        q_i8 = jnp.clip(
+            jnp.rint(q_f32c / qs), -127.0, 127.0
+        ).astype(jnp.int8)
+        q_isum = jnp.sum(
+            q_i8.astype(jnp.float32), axis=2, keepdims=True
         )[..., None]                                   # [H, n_rep, 1, 1]
+        qsc = qs[..., None]                            # [H, n_rep, 1, 1]
+
         qk4 = jnp.stack([
             jax.lax.dot_general(
-                q_bf[h], k_tok[h * lanes:(h + 1) * lanes],
+                q_i8[h], k_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
             for h in range(n_heads)], axis=0,
-        ).reshape(n_heads, n_rep, g, page_size)
+        ).reshape(n_heads, n_rep, g, page_size).astype(jnp.float32)
 
         def plane(k):
             # [g, H, T] -> [H, 1, g, T]: a sublane permute (T minor
-            # preserved) — measured free vs the math
-            return jnp.transpose(sc_buf[slot, :, k], (1, 0, 2))[:, None]
+            # preserved) — measured free vs the math; planes are stored
+            # bf16 (paged_kv) — corrections run in f32
+            return jnp.transpose(
+                sc_buf[slot, :, k], (1, 0, 2)
+            )[:, None].astype(jnp.float32)
 
         if kv_zeros:
             # planes at pad lanes (no DMA issued) are VMEM garbage — every
-            # use is masked by ``valid`` downstream
+            # use is masked by ``valid`` downstream.
+            # true = s*(sum q(A - z)); A = i8 + beta, s*z = s1 - 128*s0
+            # => qk = (qk4*s0 + ((beta + 128)*s0 - s1)*q_isum) * qs * sm
             s0 = plane(0)                              # [H, 1, g, T]
             s1 = plane(1)                              # = s*(z+128)
-            if not kv4:            # kv8 tokens carry no +128 magic bias
-                s1 = s1 - 128.0 * s0
-            qk = (qk4 * s0 - s1 * q_sum) * sm_scale
+            qk = (
+                qk4 * s0 + ((beta + 128.0) * s0 - s1) * q_isum
+            ) * qsc * sm_scale
         else:
-            qk = (qk4 - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
+            # per-tensor: kv4 stores q+8 (i8 = q+8); kv8 top-bit flip
+            # gives q exactly
+            ptb = 8.0 if kv4 else 0.0
+            qk = (qk4 - ptb * q_isum) * (qsc * (pt_ref[0] * sm_scale))
         qk = jnp.where(valid, qk, MASK_VALUE)
 
         m_curr = jnp.max(jnp.max(qk, axis=3, keepdims=True),
@@ -490,34 +513,42 @@ def _sp_kernel(
                 l_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
 
+        # ---- int8 PV ----
         if kv_zeros:
-            s2 = plane(2)
-            z3 = plane(3)                              # = z+128
-            if not kv4:                                # kv8: plain z
-                z3 = z3 - 128.0
-            # mask BEFORE multiplying: pad-lane planes are garbage and
-            # 0 * NaN = NaN
-            p_bf = jnp.where(valid, pexp * s2, 0.0).astype(jnp.bfloat16)
-            # corr from the SAME bf16-rounded weights the PV dots use
-            corr = jnp.sum(jnp.sum(
-                jnp.where(valid, p_bf.astype(jnp.float32) * z3, 0.0),
+            p4 = jnp.where(valid, pexp * plane(2), 0.0)  # s2 folded in
+        else:
+            p4 = pexp
+        ps = jnp.max(jnp.max(p4, axis=3, keepdims=True), axis=2,
+                     keepdims=True) / 127.0             # [H, n_rep, 1, 1]
+        ps = jnp.maximum(ps, 1e-30)
+        p_i8f = jnp.rint(p4 / ps)                       # exact ints, f32
+        psum_i = jnp.sum(jnp.sum(p_i8f, axis=3, keepdims=True), axis=2,
+                         keepdims=True)                 # [H, n_rep, 1, 1]
+        if kv_zeros:
+            # v_true = (B - z)*s2; B = i8 + beta, z = z3 - 128
+            # => contrib = ps*(pv + (beta + 128)*psum - sum p*z3)
+            corr3 = jnp.sum(jnp.sum(
+                jnp.where(valid, p_i8f * plane(3), 0.0),
                 axis=3, keepdims=True), axis=2, keepdims=True)
+            int_corr = (beta + 128.0) * psum_i - corr3  # [H, n_rep, 1, 1]
             v_scale = 1.0
         else:
-            p_bf = pexp.astype(jnp.bfloat16)
-            corr = pt_bias * jnp.sum(jnp.sum(
-                p_bf.astype(jnp.float32), axis=3, keepdims=True,
-            ), axis=2, keepdims=True)
+            ptb = 8.0 if kv4 else 0.0
+            int_corr = -ptb * psum_i
             v_scale = pt_ref[1]
-        p3 = p_bf.reshape(n_heads, n_rep, lanes)
+        p3 = p_i8f.reshape(n_heads, n_rep, lanes).astype(jnp.int8)
         pv = jnp.stack([
             jax.lax.dot_general(
                 p3[h], v_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
-            for h in range(n_heads)], axis=0)          # [H, n_rep, D]
-        contrib = (pv - corr.reshape(n_heads, n_rep, 1)) * v_scale
+            for h in range(n_heads)], axis=0
+        ).astype(jnp.float32)                           # [H, n_rep, D]
+        contrib = (
+            (pv + int_corr.reshape(n_heads, n_rep, 1))
+            * ps.reshape(n_heads, n_rep, 1)
+        ) * v_scale
         if single:
             if fused:
                 contrib = contrib + pexp_new.reshape(n_heads, n_rep, 1) * v_dq_b
@@ -841,7 +872,6 @@ def _sp_kernel_ph(
     kv4 = kv_bits == 4
     rows = page_size // 2 if kv4 else page_size
     bk = page_size // 4
-    pt_bias = 136.0 if kv4 else 128.0
     step = b * n_chunks + j
     slot = jax.lax.rem(step, 2)
     single = n_chunks == 1
@@ -903,29 +933,27 @@ def _sp_kernel_ph(
     def _compute():
         n_rep = q_ref.shape[2]
 
-        def nib_tokens(buf):
+        def nib_tok_i8(buf):
+            # [H, G*R, D] u8 -> [H*G*page, D] i8 token-ordered rows
+            # (half-split kv4 / top-bit-flipped kv8 — see _sp_kernel)
             flat = buf[slot]
             d_ = flat.shape[2]
-            if not kv4:                                # kv8: rows ARE
-                # u8 -> i32 -> bf16 (no direct u8->bf16 cast on TPU)
-                return flat.reshape(                   # tokens, every u8
-                    n_heads * lanes, d_                # exact in bf16
-                ).astype(jnp.int32).astype(jnp.bfloat16)
             w32 = pltpu.bitcast(
-                flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
-            )
-            streams = []
-            for sh in _NIBBLE_SHIFTS:
-                w = w32 if sh == 0 else (w32 >> sh)
-                streams.append(pltpu.bitcast(
-                    (w & 0x000F000F) | _MAGIC, jnp.bfloat16
-                ).reshape(n_heads, g, bk, d_))
-            return jnp.concatenate(streams, axis=2).reshape(
-                n_heads * lanes, d_
-            )
+                flat.reshape(n_heads * flat.shape[1], d_), jnp.int32)
+            if not kv4:
+                return pltpu.bitcast(
+                    w32 ^ jnp.int32(-0x7F7F7F80), jnp.int8
+                )  # 0x80808080 as signed i32
+            lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+            hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+            half = flat.shape[1] // g
+            return jnp.concatenate([
+                lo.reshape(n_heads, g, half, d_),
+                hi.reshape(n_heads, g, half, d_),
+            ], axis=2).reshape(n_heads * lanes, d_)
 
-        k_tok = nib_tokens(k_buf)
-        v_tok = nib_tokens(v_buf)
+        k_tok = nib_tok_i8(k_buf)
+        v_tok = nib_tok_i8(v_buf)
 
         # per-head page lists -> per-head PAGE logic [H, 1, g, 1] (selects
         # over a g-wide iota, not a lanes-wide one — see _sp_kernel)
@@ -940,32 +968,42 @@ def _sp_kernel_ph(
         logic4 = jnp.concatenate(rows_logic, axis=0)   # [H, 1, g, 1]
         valid = (logic4 >= 0) & (logic4 * page_size + tok4 < length)
 
-        # head-BATCHED [H, n_rep, G, T] softmax/scale math (see _sp_kernel)
-        q_bf = q_ref[0].astype(jnp.bfloat16)           # [H, n_rep, D]
-        q_sum = jnp.sum(
-            q_bf.astype(jnp.float32), axis=2, keepdims=True
+        # int8 MXU math, head-batched [H, n_rep, G, T] (see _sp_kernel for
+        # the quantization + correction algebra)
+        beta = 0.0 if kv4 else 128.0
+        q_f32c = q_ref[0].astype(jnp.float32)          # [H, n_rep, D]
+        qs = jnp.max(jnp.abs(q_f32c), axis=2, keepdims=True) / 127.0
+        qs = jnp.maximum(qs, 1e-20)
+        q_i8 = jnp.clip(
+            jnp.rint(q_f32c / qs), -127.0, 127.0
+        ).astype(jnp.int8)
+        q_isum = jnp.sum(
+            q_i8.astype(jnp.float32), axis=2, keepdims=True
         )[..., None]                                   # [H, n_rep, 1, 1]
+        qsc = qs[..., None]
         qk4 = jnp.stack([
             jax.lax.dot_general(
-                q_bf[h], k_tok[h * lanes:(h + 1) * lanes],
+                q_i8[h], k_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
             for h in range(n_heads)], axis=0,
-        ).reshape(n_heads, n_rep, g, page_size)
+        ).reshape(n_heads, n_rep, g, page_size).astype(jnp.float32)
 
         def plane(k):
             return sc_ref[0, k].reshape(
-                n_heads, g, page_size)[:, None]        # [H, 1, g, T]
+                n_heads, g, page_size)[:, None].astype(
+                    jnp.float32)                       # [H, 1, g, T]
 
         if kv_zeros:
             s0 = plane(0)
-            s1 = plane(1)
-            if not kv4:        # kv8 tokens carry no +128 magic bias
-                s1 = s1 - 128.0 * s0
-            qk = (qk4 * s0 - s1 * q_sum) * sm_scale
+            s1 = plane(1)                              # = s*(z+128)
+            qk = (
+                qk4 * s0 + ((beta + 128.0) * s0 - s1) * q_isum
+            ) * qsc * sm_scale
         else:
-            qk = (qk4 - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
+            ptb = 8.0 if kv4 else 0.0
+            qk = (qk4 - ptb * q_isum) * (qsc * (pt_ref[0] * sm_scale))
         qk = jnp.where(valid, qk, MASK_VALUE)
 
         m_curr = jnp.max(jnp.max(qk, axis=3, keepdims=True),
@@ -993,33 +1031,41 @@ def _sp_kernel_ph(
                 l_next.reshape(n_heads, n_rep, 1), (n_heads, n_rep, 128)
             ).reshape(n_heads * n_rep, 128)
 
+        # int8 PV (pre-gathered planes are garbage at invalid lanes —
+        # mask BEFORE multiplying)
         if kv_zeros:
-            s2 = plane(2)
-            # pre-gathered planes are garbage at invalid lanes (pad pages
-            # point at page 0): mask BEFORE multiplying (0 * NaN = NaN)
-            z3 = plane(3)
-            if not kv4:                                # kv8: plain z
-                z3 = z3 - 128.0
-            p_bf = jnp.where(valid, pexp * s2, 0.0).astype(jnp.bfloat16)
-            corr = jnp.sum(jnp.sum(
-                jnp.where(valid, p_bf.astype(jnp.float32) * z3, 0.0),
+            p4 = jnp.where(valid, pexp * plane(2), 0.0)
+        else:
+            p4 = pexp
+        ps = jnp.max(jnp.max(p4, axis=3, keepdims=True), axis=2,
+                     keepdims=True) / 127.0
+        ps = jnp.maximum(ps, 1e-30)
+        p_i8f = jnp.rint(p4 / ps)
+        psum_i = jnp.sum(jnp.sum(p_i8f, axis=3, keepdims=True), axis=2,
+                         keepdims=True)
+        if kv_zeros:
+            corr3 = jnp.sum(jnp.sum(
+                jnp.where(valid, p_i8f * plane(3), 0.0),
                 axis=3, keepdims=True), axis=2, keepdims=True)
+            int_corr = (beta + 128.0) * psum_i - corr3
             v_scale = 1.0
         else:
-            p_bf = pexp.astype(jnp.bfloat16)
-            corr = pt_bias * jnp.sum(jnp.sum(
-                p_bf.astype(jnp.float32), axis=3, keepdims=True,
-            ), axis=2, keepdims=True)
+            ptb = 8.0 if kv4 else 0.0
+            int_corr = -ptb * psum_i
             v_scale = pt_ref[1]
-        p3 = p_bf.reshape(n_heads, n_rep, lanes)
+        p3 = p_i8f.reshape(n_heads, n_rep, lanes).astype(jnp.int8)
         pv = jnp.stack([
             jax.lax.dot_general(
                 p3[h], v_tok[h * lanes:(h + 1) * lanes],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
-            for h in range(n_heads)], axis=0)          # [H, n_rep, D]
-        contrib = (pv - corr.reshape(n_heads, n_rep, 1)) * v_scale
+            for h in range(n_heads)], axis=0
+        ).astype(jnp.float32)                          # [H, n_rep, D]
+        contrib = (
+            (pv + int_corr.reshape(n_heads, n_rep, 1))
+            * ps.reshape(n_heads, n_rep, 1)
+        ) * v_scale
         if single:
             o_ref[0] = (
                 contrib / jnp.maximum(l_next.reshape(n_heads, n_rep, 1), 1e-10)

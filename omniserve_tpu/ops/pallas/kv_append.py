@@ -16,7 +16,7 @@ could reorder the read of step t+1 before the write of step t. Prefill
 uses the jnp scatter path (amortized over the whole prompt).
 
 Layout contracts (ops/paged_kv.py):
-- kv4 data [L, P, H, page/2, D] u8 in the interleaved layout
+- kv4 data [L, P, H, page/2, D] u8 in the half-split layout
   (ops/paged_kv.kv4_slot_to_row_nibble); kv8 [L, P, H, page, D] u8;
   kv16 bf16.
 - kv_scales [L, P, 4, H, page] f32, plane-major folded planes (see
@@ -92,11 +92,10 @@ def _append_kernel(
         # of the page move through VMEM instead of the whole page.
         dst[...] = src_block[...]
         if kv_bits == 4:
-            # interleaved kv4 layout (ops/paged_kv.kv4_slot_to_row_nibble)
-            bk = page_size // 4
-            i_blk = slot // bk
-            row = 2 * (slot % bk) + (i_blk % 2)
-            is_hi = i_blk >= 2
+            # half-split kv4 layout (ops/paged_kv.kv4_slot_to_row_nibble)
+            half = page_size // 2
+            row = jax.lax.rem(slot, half)
+            is_hi = slot >= half
         else:
             row = slot
             is_hi = False
@@ -135,7 +134,8 @@ def _append_kernel(
         vals = jnp.stack(
             [ks, ks * (kz + 128.0), vs, vz + 128.0], axis=0
         )                                                   # [4, H, 1]
-        sc_out[0, 0] = jnp.where(lane == slot, vals, blk)
+        sc_out[0, 0] = jnp.where(lane == slot, vals, blk.astype(
+            jnp.float32)).astype(sc_out.dtype)
     else:
         sc_out[0, 0] = sc_ref[0, 0]
 
@@ -201,9 +201,8 @@ def append_kv_decode(
     def row8(t_, sl):
         s = sl[t_]
         if kv_bits == 4:
-            bk = page_size // 4
-            i_blk = s // bk
-            r = 2 * (s % bk) + (i_blk % 2)
+            # half-split: row = slot % (page/2)
+            r = s % (page_size // 2)
         else:
             r = s
         return r // win

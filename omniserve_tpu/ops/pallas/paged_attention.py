@@ -110,14 +110,8 @@ def _mqa_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
     page_of = lane // page_size
     within = lane % page_size
-    if kv_bits == 4:
-        # cat([lo, hi]) lane q holds token kv4_unpack_order(q) under the
-        # interleaved layout (ops/paged_kv.py); remap positions for masks
-        rr = page_size // 2
-        bk = page_size // 4
-        half = within // rr
-        r = within % rr
-        within = (2 * half + (r % 2)) * bk + r // 2
+    # half-split kv4 layout: cat([lo, hi]) unpack lanes ARE token order
+    # (kv4_unpack_order is the identity) — no relabel needed
 
     def chunk_mask(h):
         if per_head_sel:
@@ -326,15 +320,9 @@ def paged_mqa_attention(
             return None
 
         def perm_tokens(x):
-            # kv4: kernel lane q of a page holds token kv4_unpack_order(q);
-            # permute the per-page token axis (last) to match
-            if kv_bits != 4:
-                return x
-            from omniserve_tpu.ops.paged_kv import kv4_unpack_order
-
-            return jnp.take(
-                x, jnp.asarray(kv4_unpack_order(x.shape[-1])), axis=-1
-            )
+            # half-split kv4: unpack lane order == token order
+            # (kv4_unpack_order is the identity) — nothing to permute
+            return x
 
         if per_head_sel:
             bb, hh, tt, pg4 = s.shape              # [B, H, T, 4*page]

@@ -85,24 +85,14 @@ def _prefill_kernel(
 
     logic_vals = [sel_logic_ref[b, j * g + i] for i in range(g)]
 
-    # kv4 fast path: packed-domain magic unpack emits lanes in TRUE token
-    # order (the interleaved pool layout makes the four nibble streams
-    # token blocks in order — see pallas/decode_attention.py). Needs the
-    # same 128-alignment as the decode kernel; small pages keep the
-    # astype unpack + lane relabel.
-    kv4_magic = kv_bits == 4 and page_size % 128 == 0
+    # Half-split kv4 pool layout (ops/paged_kv.kv4_slot_to_row_nibble):
+    # a cat([lo, hi]) unpack emits lanes in TRUE token order (identity
+    # kv4_unpack_order), so no lane relabel is needed.
 
     # kv-token positions of this chunk's lanes (page-major)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g * page_size), 1)
     page_of = lane // page_size
     within = lane % page_size
-    if kv_bits == 4 and not kv4_magic:
-        # interleaved kv4: unpack lane q holds token kv4_unpack_order(q)
-        rr = page_size // 2
-        bk = page_size // 4
-        half = within // rr
-        r = within % rr
-        within = (2 * half + (r % 2)) * bk + r // 2
     logic_lane = jnp.full_like(lane, -1)
     for i in range(g):
         logic_lane = jnp.where(page_of == i, logic_vals[i], logic_lane)
@@ -160,24 +150,19 @@ def _prefill_kernel(
                 d_ = raw.shape[-1]
                 if kv_bits == 16:
                     return raw.reshape(g * rows_pg, d_).astype(jnp.bfloat16)
-                if kv4_magic:
-                    # packed-domain magic unpack (decode_attention.py):
-                    # bf16 lanes = 128 + nibble with ZERO per-element type
-                    # conversions; streams land in TRUE token order thanks
-                    # to the interleaved pool layout
-                    bk = page_size // 4
+                if kv_bits == 4 and (rows_pg * d_) % 4 == 0:
+                    # packed-domain 2-stream unpack (i32 masks, bitcast to
+                    # i8, ONE convert to bf16); half-split layout = token
+                    # order (see pallas/decode_attention._sp_kernel)
                     w32 = pltpu.bitcast(
                         raw.reshape(g * rows_pg, d_), jnp.int32
                     )
-                    streams = []
-                    for sh in (0, 8, 4, 12):
-                        w = w32 if sh == 0 else (w32 >> sh)
-                        streams.append(pltpu.bitcast(
-                            (w & 0x000F000F) | 0x43004300, jnp.bfloat16
-                        ).reshape(g, bk, d_))
-                    return jnp.concatenate(streams, axis=1).reshape(
-                        g * page_size, d_
-                    )
+                    lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+                    hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+                    return jnp.concatenate([
+                        lo.reshape(g, rows_pg, d_).astype(jnp.bfloat16),
+                        hi.reshape(g, rows_pg, d_).astype(jnp.bfloat16),
+                    ], axis=1).reshape(g * page_size, d_)
                 raw_i = raw.astype(jnp.int32)
                 if kv_bits == 4:
                     lo = (raw_i & 0xF).astype(jnp.bfloat16)
@@ -204,14 +189,15 @@ def _prefill_kernel(
                 # which is EXACTLY the rank-1 correction the kv4 magic
                 # bias (values 128+nib) needs; kv8 values carry no bias
                 sc = scales(0)
-                sz = scales(1) if kv4_magic else scales(1) - 128.0 * sc
+                # plane1 = sc*(z+128); unpacked values carry no bias
+                sz = scales(1) - 128.0 * sc
                 q_sum = jnp.sum(q, axis=1, keepdims=True)
                 qk = (qk_int * sc - sz * q_sum) * sm_scale
             else:
                 # per-tensor kv4 stores q+8 -> 136+q under the magic
                 # bias; plain-nibble kv4 is q+8; kv8 is q+128
-                bias = (136.0 if kv4_magic else 8.0) if kv_bits == 4 \
-                    else 128.0
+                # per-tensor kv4 stores q+8; kv8 stores q+128
+                bias = 8.0 if kv_bits == 4 else 128.0
                 q_sum = jnp.sum(q, axis=1, keepdims=True)
                 qk = (qk_int - bias * q_sum) * (pt_ref[0] * sm_scale)
             qk = jnp.where(mask, qk, MASK_VALUE)
@@ -235,15 +221,14 @@ def _prefill_kernel(
                 vs = scales(2)
                 # plane3 = v_zero+128 = the kv4 magic-bias correction
                 # verbatim; kv8 values carry no bias -> plain zero
-                vz = scales(3) if kv4_magic else scales(3) - 128.0
+                vz = scales(3) - 128.0   # plane3 = v_zero + 128
                 p_bf = (p * vs).astype(jnp.bfloat16)
                 corr = jnp.sum(
                     p_bf.astype(jnp.float32) * vz, axis=1, keepdims=True
                 )
                 v_scale = 1.0
             else:
-                bias = (136.0 if kv4_magic else 8.0) if kv_bits == 4 \
-                    else 128.0
+                bias = 8.0 if kv_bits == 4 else 128.0
                 p_bf = p.astype(jnp.bfloat16)
                 corr = bias * jnp.sum(
                     p_bf.astype(jnp.float32), axis=1, keepdims=True
@@ -343,17 +328,13 @@ def paged_prefill_attention(
     fine = kv_bits < 16 and kv_zeros
 
     def flatten_scale(s):
-        # page-major lane order: TRUE token order under the kv4 magic
-        # unpack; the small-page astype path keeps the unpack-lane order
+        # page-major lane order == TRUE token order (half-split kv4
+        # layout: cat([lo, hi]) unpack is the identity permutation)
         if s is None:
             return None
         bb, tt, hh, pg4 = s.shape
         pg = pg4 // 4
         s = s.reshape(bb, tt, hh, 4, pg)
-        if kv_bits == 4 and page_size % 128 != 0:
-            from omniserve_tpu.ops.paged_kv import kv4_unpack_order
-
-            s = jnp.take(s, jnp.asarray(kv4_unpack_order(pg)), axis=-1)
         s = s.transpose(0, 2, 3, 1, 4)
         # chunk axis flattened into lanes: blockable at (1, H, 4, G*page)
         return s.reshape(bb, hh, 4, n_chunks * g * pg)

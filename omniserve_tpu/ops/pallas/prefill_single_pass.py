@@ -40,8 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from omniserve_tpu.ops.paged_kv import KVPool
 from omniserve_tpu.ops.pallas.decode_attention import (
-    _MAGIC,
-    _NIBBLE_SHIFTS,
     _cdiv,
     supports,
 )
@@ -93,11 +91,10 @@ def _psp_kernel(
     qt = pl.program_id(1)
     kv4 = kv_bits == 4
     rows_pg = page_size // 2 if kv4 else page_size  # byte rows per page
-    bk = page_size // 4            # tokens per nibble block (kv4)
-    # token domain the MXU sees: kv4 unpacks to 128+v (magic bias), kv8
-    # converts u8 verbatim; per-tensor kv4 stores q+8 -> 136+q on the MXU,
-    # kv8 stores q+128 verbatim
-    pt_bias = 136.0 if kv4 else 128.0
+    # token domain the MXU sees: kv4 unpacks to plain nibbles (half-split
+    # layout, i8 masks + one bf16 convert), kv8 converts u8 verbatim;
+    # per-tensor kv4 stores q+8, kv8 stores q+128
+    pt_bias = 8.0 if kv4 else 128.0
     lanes = g * page_size
     n_rep = q_ref.shape[3]
     rows = tq * n_rep
@@ -148,8 +145,8 @@ def _psp_kernel(
 
     issue(0, 0)
 
-    # lane -> (page slot, token) map; the magic unpack emits tokens IN
-    # ORDER within each page, so `within` needs no permutation
+    # lane -> (page slot, token) map; the half-split cat([lo, hi])
+    # unpack emits tokens IN ORDER within each page (identity order)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     p_of = lane // page_size
     within = lane % page_size
@@ -196,15 +193,13 @@ def _psp_kernel(
             w32 = pltpu.bitcast(
                 flat.reshape(n_heads * flat.shape[1], d_), jnp.int32,
             )
-            streams = []
-            for sh in _NIBBLE_SHIFTS:
-                w = w32 if sh == 0 else (w32 >> sh)
-                streams.append(pltpu.bitcast(
-                    (w & 0x000F000F) | _MAGIC, jnp.bfloat16
-                ).reshape(n_heads, g, bk, d_))
-            return jnp.concatenate(streams, axis=2).reshape(
-                n_heads * lanes, d_
-            )                                             # [H*lanes, D]
+            lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+            hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+            half = flat.shape[1] // g
+            return jnp.concatenate([
+                lo.reshape(n_heads, g, half, d_).astype(jnp.bfloat16),
+                hi.reshape(n_heads, g, half, d_).astype(jnp.bfloat16),
+            ], axis=2).reshape(n_heads * lanes, d_)       # [H*lanes, D]
 
         k_tok = nib_tokens(k_buf)
         v_tok = nib_tokens(v_buf)
@@ -229,10 +224,11 @@ def _psp_kernel(
                 preferred_element_type=jnp.float32,
             )                                             # [rows, lanes]
             if kv_zeros:
-                s0 = sc_buf[slot, 0, h][None, :]
-                s1 = sc_buf[slot, 1, h][None, :]          # = s*(z+128)
-                if not kv4:           # kv8 tokens carry no +128 magic bias
-                    s1 = s1 - 128.0 * s0
+                s0 = sc_buf[slot, 0, h][None, :].astype(jnp.float32)
+                s1 = sc_buf[slot, 1, h][None, :].astype(
+                    jnp.float32)                          # = s*(z+128)
+                # unpacked values carry no bias in either width
+                s1 = s1 - 128.0 * s0
                 qk = (qk_int * s0 - s1 * q_sum) * sm_scale
             else:
                 qk = (qk_int - pt_bias * q_sum) * (pt_ref[0] * sm_scale)
@@ -252,11 +248,12 @@ def _psp_kernel(
                 # scale planes of never-DMA'd lanes are garbage: mask
                 # BEFORE multiplying (0 * NaN = NaN)
                 p_bf = jnp.where(
-                    mask, pexp * sc_buf[slot, 2, h][None, :], 0.0
+                    mask,
+                    pexp * sc_buf[slot, 2, h][None, :].astype(jnp.float32),
+                    0.0,
                 ).astype(jnp.bfloat16)
-                z3 = sc_buf[slot, 3, h][None, :]          # = z+128
-                if not kv4:                               # kv8: plain z
-                    z3 = z3 - 128.0
+                z3 = sc_buf[slot, 3, h][None, :].astype(
+                    jnp.float32) - 128.0                  # plane3=z+128
                 corr = jnp.sum(
                     jnp.where(
                         mask,

@@ -82,6 +82,8 @@ def _pick_bm(m: int) -> int:
 _TILE_TABLE = {
     (2048, 28672): (2048, 2048),   # gate_up
     (7168, 4096): (2048, 1024),    # down
+    (2048, 6144): (1024, 2048),    # qkv  (r5 sweep: 25.2 -> 22.9 us)
+    (2048, 4096): (1024, 2048),    # o    (r5 sweep: 17.2 -> 15.8 us)
 }
 
 

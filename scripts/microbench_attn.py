@@ -788,10 +788,11 @@ def v_stream(q, kp, vp, sc, sel, lens):
 # ---------------------------------------------------------------------------
 
 def _scdma_kernel(sel_ref, len_ref, q_ref, k_hbm, v_hbm, sc_hbm, o_ref,
-                  k_buf, v_buf, sc_buf, sem):
+                  k_buf, v_buf, sc_buf, sem, k_mat, v_mat):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     slot = jax.lax.rem(b, 2)
+    no_dma = os.environ.get("MB_NO_DMA", "0") == "1"
 
     def issue(bb, sl):
         bbc = jnp.minimum(bb, nb - 1)
@@ -810,26 +811,28 @@ def _scdma_kernel(sel_ref, len_ref, q_ref, k_hbm, v_hbm, sc_hbm, o_ref,
                     sc_hbm.at[idx], sc_buf.at[sl, i],
                     sem.at[sl, i, 2]).start()
 
-    @pl.when(b == 0)
-    def _():
-        issue(b, slot)
-    issue(b + 1, 1 - slot)
-    for i in range(G):
-        idx = sel_ref[b, i]
-        pltpu.make_async_copy(
-            k_hbm.at[idx], k_buf.at[slot, :, pl.ds(i * ROWS, ROWS), :],
-            sem.at[slot, i, 0]).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[idx], v_buf.at[slot, :, pl.ds(i * ROWS, ROWS), :],
-            sem.at[slot, i, 1]).wait()
-        pltpu.make_async_copy(
-            sc_hbm.at[idx], sc_buf.at[slot, i],
-            sem.at[slot, i, 2]).wait()
+    if not no_dma:
+        @pl.when(b == 0)
+        def _():
+            issue(b, slot)
+        issue(b + 1, 1 - slot)
+        for i in range(G):
+            idx = sel_ref[b, i]
+            pltpu.make_async_copy(
+                k_hbm.at[idx], k_buf.at[slot, :, pl.ds(i * ROWS, ROWS), :],
+                sem.at[slot, i, 0]).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[idx], v_buf.at[slot, :, pl.ds(i * ROWS, ROWS), :],
+                sem.at[slot, i, 1]).wait()
+            pltpu.make_async_copy(
+                sc_hbm.at[idx], sc_buf.at[slot, i],
+                sem.at[slot, i, 2]).wait()
 
     length = len_ref[b]
     pos = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 2) * PAGE
            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 3))
     valid = pos < length
+    mode = os.environ.get("MB_COMPUTE", "full")
 
     def nib_tokens(buf):
         flat = buf[slot]
@@ -842,15 +845,198 @@ def _scdma_kernel(sel_ref, len_ref, q_ref, k_hbm, v_hbm, sc_hbm, o_ref,
             ).reshape(H, G, BK, D))
         return jnp.concatenate(streams, axis=2).reshape(H * LANES, D)
 
+    if mode == "unpack":
+        # unpack both buffers, fold to output, skip dots/softmax
+        k_tok = nib_tokens(k_buf)
+        v_tok = nib_tokens(v_buf)
+        o_ref[0] = (
+            k_tok[:H * REP] + v_tok[:H * REP]
+        ).astype(jnp.float32).reshape(H, REP, D)
+        return
+    if mode == "dots_i8":
+        # GEMM-style int8 path: 2-op nibble unpack straight to i8 (token
+        # order interleaved — fine for timing), int8 MXU dots with i32
+        # accum, q pre-quantized to i8 on the host side of the kernel
+        def nib_i8(buf):
+            w32 = pltpu.bitcast(
+                buf[slot].reshape(H * G * ROWS, D), jnp.int32)
+            lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+            hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+            return lo, hi                       # each [H*G*ROWS, D]
+
+        k_lo, k_hi = nib_i8(k_buf)
+        v_lo, v_hi = nib_i8(v_buf)
+        q_i8 = jnp.clip(
+            q_ref[0].reshape(H * REP, D) * 4.0, -127, 127
+        ).astype(jnp.int8)
+        qk_lo = jax.lax.dot_general(
+            q_i8, k_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)   # [32, H*G*ROWS]
+        qk_hi = jax.lax.dot_general(
+            q_i8, k_hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        p_i8 = jnp.clip(qk_lo + qk_hi, -127, 127).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p_i8, v_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        pv += jax.lax.dot_general(
+            p_i8, v_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        o_ref[0] = pv[:, :D].astype(jnp.float32).reshape(H, REP, D)
+        return
+    if mode == "full_i8":
+        # COMPLETE math with int8 MXU dots. K/V nibbles are exact ints in
+        # [0,15]; q is dynamically quantized per (h, rep) row and p per
+        # (h, rep) row for the PV dot (the two new roundings vs bf16).
+        # Token order is restored in the SUBLANE domain (rows are
+        # sublanes, D is lanes): k_lo row r = 2j+m holds token m*32+j, a
+        # [32,2]->[2,32] sublane transpose + concat — the same op class
+        # as the bf16 path's 4-stream concat.
+        def nib_tok_i8(buf):
+            w32 = pltpu.bitcast(
+                buf[slot].reshape(H * G * ROWS, D), jnp.int32)
+            lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+            hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+
+            if os.environ.get("MB_I8_NOREORD", "0") == "1":
+                # timing-only: skip the token reorder (wrong order)
+                return jnp.concatenate([
+                    lo.reshape(H, G, ROWS, D), hi.reshape(H, G, ROWS, D),
+                ], axis=2).reshape(H * LANES, D)
+
+            def reord(x):
+                # [H*G*ROWS, D] rows r=2j+m -> token-within-half m*32+j
+                x5 = x.reshape(H, G, BK, 2, D)
+                return jnp.swapaxes(x5, 2, 3)        # [H, G, 2, BK, D]
+
+            return jnp.concatenate(
+                [reord(lo), reord(hi)], axis=2
+            ).reshape(H * LANES, D)                  # token order rows
+
+        k_tok = nib_tok_i8(k_buf)
+        v_tok = nib_tok_i8(v_buf)
+        q_f = q_ref[0].astype(jnp.float32)           # [H, REP, D]
+        qs = jnp.max(jnp.abs(q_f), axis=2, keepdims=True) / 127.0
+        qs = jnp.maximum(qs, 1e-20)
+        q_i8 = jnp.clip(jnp.rint(q_f / qs), -127, 127).astype(jnp.int8)
+        q_isum = jnp.sum(
+            q_i8.astype(jnp.float32), axis=2, keepdims=True
+        )[..., None]                                 # [H, REP, 1, 1]
+
+        if os.environ.get("MB_I8_BIG", "0") == "1":
+            qk_full = jax.lax.dot_general(
+                q_i8.reshape(H * REP, D), k_tok, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)    # [H*REP, H*LANES]
+            qk4 = jnp.stack([
+                qk_full[h * REP:(h + 1) * REP, h * LANES:(h + 1) * LANES]
+                for h in range(H)], axis=0).reshape(
+                    H, REP, G, PAGE).astype(jnp.float32)
+        else:
+            qk4 = jnp.stack([
+                jax.lax.dot_general(
+                    q_i8[h], k_tok[h * LANES:(h + 1) * LANES],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                for h in range(H)], axis=0).reshape(
+                    H, REP, G, PAGE).astype(jnp.float32)
+
+        s0 = jnp.transpose(sc_buf[slot, :, 0], (1, 0, 2))[:, None]
+        s1 = jnp.transpose(sc_buf[slot, :, 1], (1, 0, 2))[:, None]
+        qsc = qs[..., None]                          # [H, REP, 1, 1]
+        qk = (qk4 * s0 - s1 * q_isum) * qsc * SM
+        qk = jnp.where(valid, qk, MASK_VALUE)
+        m = jnp.max(jnp.max(qk, axis=3, keepdims=True), axis=2,
+                    keepdims=True)
+        pexp = jnp.where(valid, jnp.exp(qk - m), 0.0)
+        l = jnp.sum(jnp.sum(pexp, axis=3, keepdims=True), axis=2,
+                    keepdims=True)[:, :, 0]
+        s2 = jnp.transpose(sc_buf[slot, :, 2], (1, 0, 2))[:, None]
+        z3 = jnp.transpose(sc_buf[slot, :, 3], (1, 0, 2))[:, None]
+        p4 = jnp.where(valid, pexp * s2, 0.0)
+        # quantize p rows for the int8 PV dot; corr from the SAME
+        # quantized values so the zero-point cancellation stays exact
+        ps = jnp.max(jnp.max(p4, axis=3, keepdims=True), axis=2,
+                     keepdims=True) / 127.0
+        ps = jnp.maximum(ps, 1e-30)
+        p_i8f = jnp.rint(p4 / ps)
+        corr = jnp.sum(jnp.sum(
+            p_i8f * z3, axis=3, keepdims=True), axis=2,
+            keepdims=True)[:, :, 0] * ps[:, :, 0]
+        p3 = p_i8f.reshape(H, REP, LANES)
+        pvs = []
+        for h in range(H):
+            pv = jax.lax.dot_general(
+                p3[h].astype(jnp.int8), v_tok[h * LANES:(h + 1) * LANES],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)    # [REP, D]
+            pvs.append(pv)
+        pvf = jnp.stack(pvs, axis=0).astype(jnp.float32) * ps[:, :, 0]
+        scale = 1.0 / jnp.maximum(l, 1e-10)
+        o_ref[0] = (pvf - corr) * scale
+        return
     k_tok = nib_tokens(k_buf)
     v_tok = nib_tokens(v_buf)
+    if os.environ.get("MB_MAT", "0") == "1":
+        # force the unpacked streams through VMEM scratch: if Mosaic was
+        # fusing the unpack chain into the dot (recompute per tile), this
+        # materializes once and the dots read plain refs
+        k_mat[...] = k_tok
+        v_mat[...] = v_tok
+        k_tok = k_mat[...]
+        v_tok = v_mat[...]
     q_bf = q_ref[0].astype(jnp.bfloat16)
+    if mode in ("dots_bigqk", "dots_bigboth"):
+        # ONE [H*REP, D] x [D, H*LANES] dot for all heads (cross-head
+        # products computed and discarded: MXU is idle at M=4 anyway),
+        # block-diagonal rows/cols sliced back out
+        qk_full = jax.lax.dot_general(
+            q_bf.reshape(H * REP, D), k_tok,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [H*REP, H*LANES]
+        qk4 = jnp.stack([
+            qk_full[h * REP:(h + 1) * REP, h * LANES:(h + 1) * LANES]
+            for h in range(H)], axis=0).reshape(H, REP, G, PAGE)
+        if mode == "dots_bigboth":
+            p3 = qk4.reshape(H, REP, LANES).astype(jnp.bfloat16)
+            # block-diagonal P: [H*REP, H*LANES] with zeros off-block
+            hh = jax.lax.broadcasted_iota(
+                jnp.int32, (H * REP, H * LANES), 0) // REP
+            cc = jax.lax.broadcasted_iota(
+                jnp.int32, (H * REP, H * LANES), 1) // LANES
+            p_big = jnp.where(
+                hh == cc,
+                qk_full.astype(jnp.bfloat16),
+                jnp.bfloat16(0.0),
+            )
+            pv = jax.lax.dot_general(
+                p_big, v_tok, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [H*REP, D]
+            o_ref[0] = pv.reshape(H, REP, D)
+            return
+        for h in range(H):
+            pvh = jax.lax.dot_general(
+                qk4.reshape(H, REP, LANES)[h].astype(jnp.bfloat16),
+                v_tok[h * LANES:(h + 1) * LANES],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, h] = pvh
+        return
     qk4 = jnp.stack([
         jax.lax.dot_general(
             q_bf[h], k_tok[h * LANES:(h + 1) * LANES],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         for h in range(H)], axis=0).reshape(H, REP, G, PAGE)
+    if mode == "dots":
+        # unpack + QK dots + PV dots, skip softmax/planes
+        p3 = qk4.reshape(H, REP, LANES).astype(jnp.bfloat16)
+        for h in range(H):
+            pv = jax.lax.dot_general(
+                p3[h], v_tok[h * LANES:(h + 1) * LANES],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, h] = pv
+        return
     q_sum = jnp.sum(
         q_bf.astype(jnp.float32), axis=2, keepdims=True)[:, :, :, None]
 
@@ -899,11 +1085,14 @@ def v_scdma(q, kp, vp, sc, sel, lens):
                 pltpu.VMEM((2, H, G * ROWS, D), jnp.uint8),
                 pltpu.VMEM((2, G, 4, H, PAGE), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, G, 3)),
+                pltpu.VMEM((H * LANES if os.environ.get("MB_MAT", "0") == "1" else 8, D), jnp.bfloat16),
+                pltpu.VMEM((H * LANES if os.environ.get("MB_MAT", "0") == "1" else 8, D), jnp.bfloat16),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, REP, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 2 ** 20),
     )(sel, lens, q, kp, vp, sc)
 
 
@@ -1084,6 +1273,193 @@ def v_fused_dma(q, kp, vp, sc, sel, lens):
     )(sel, lens, q, sc)
 
 
+# ---------------------------------------------------------------------------
+# v_pgmaj: PAGE-MAJOR VMEM buffers — dst of every page DMA is fully
+# contiguous ([G, H, ROWS, D] buffer, dst buf[sl, i]), pool layout
+# unchanged. Compute restructured to per-page dots batched over H. Tests
+# whether contiguous dsts alone (3 DMAs/page) reach the fused-record DMA
+# rate without any pool relayout.
+# ---------------------------------------------------------------------------
+
+def _pgmaj_kernel(sel_ref, len_ref, q_ref, k_hbm, v_hbm, sc_hbm, o_ref,
+                  k_buf, v_buf, sc_buf, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def issue(bb, sl):
+        bbc = jnp.minimum(bb, nb - 1)
+
+        @pl.when(bb < nb)
+        def _():
+            for i in range(G):
+                idx = sel_ref[bbc, i]
+                pltpu.make_async_copy(
+                    k_hbm.at[idx], k_buf.at[sl, i], sem.at[sl, i, 0]).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[idx], v_buf.at[sl, i], sem.at[sl, i, 1]).start()
+                pltpu.make_async_copy(
+                    sc_hbm.at[idx], sc_buf.at[sl, i], sem.at[sl, i, 2]).start()
+
+    @pl.when(b == 0)
+    def _():
+        issue(b, slot)
+    issue(b + 1, 1 - slot)
+    for i in range(G):
+        idx = sel_ref[b, i]
+        pltpu.make_async_copy(
+            k_hbm.at[idx], k_buf.at[slot, i], sem.at[slot, i, 0]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[idx], v_buf.at[slot, i], sem.at[slot, i, 1]).wait()
+        pltpu.make_async_copy(
+            sc_hbm.at[idx], sc_buf.at[slot, i], sem.at[slot, i, 2]).wait()
+
+    length = len_ref[b]
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 2) * PAGE
+           + jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, PAGE), 3))
+    valid = pos < length
+
+    def nib_page(buf, i):
+        # one page [H, ROWS, D] u8 -> [H, PAGE, D] bf16 token order
+        w32 = pltpu.bitcast(buf[slot, i].reshape(H * ROWS, D), jnp.int32)
+        streams = []
+        for sh in _NIBBLE_SHIFTS:
+            w = w32 if sh == 0 else (w32 >> sh)
+            streams.append(pltpu.bitcast(
+                (w & 0x000F000F) | _MAGIC, jnp.bfloat16
+            ).reshape(H, 1, BK, D))
+        return jnp.concatenate(streams, axis=2)       # [H, 1, PAGE, D]
+
+    q_bf = q_ref[0].astype(jnp.bfloat16)              # [H, REP, D]
+    q_sum = jnp.sum(
+        q_bf.astype(jnp.float32), axis=2, keepdims=True)[:, :, :, None]
+    v_pages = []
+    qk_pages = []
+    for i in range(G):
+        k_pg = nib_page(k_buf, i)[:, 0]               # [H, PAGE, D]
+        v_pages.append(nib_page(v_buf, i))
+        qk_pages.append(jax.lax.dot_general(
+            q_bf, k_pg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, :, None, :])                             # [H, REP, 1, T]
+    qk4 = jnp.concatenate(qk_pages, axis=2)           # [H, REP, G, T]
+
+    def plane(k):
+        return jnp.transpose(sc_buf[slot, :, k], (1, 0, 2))[:, None]
+
+    s0 = plane(0)
+    s1 = plane(1)
+    qk = (qk4 * s0 - s1 * q_sum) * SM
+    qk = jnp.where(valid, qk, MASK_VALUE)
+    m = jnp.max(jnp.max(qk, axis=3, keepdims=True), axis=2, keepdims=True)
+    pexp = jnp.where(valid, jnp.exp(qk - m), 0.0)
+    l = jnp.sum(jnp.sum(pexp, axis=3, keepdims=True), axis=2,
+                keepdims=True)[:, :, 0]
+    p4 = (pexp * plane(2)).astype(jnp.bfloat16)
+    corr = jnp.sum(jnp.sum(
+        p4.astype(jnp.float32) * plane(3), axis=3, keepdims=True), axis=2,
+        keepdims=True)[:, :, 0]
+    acc = jnp.zeros((H, REP, D), jnp.float32)
+    for i in range(G):
+        acc = acc + jax.lax.dot_general(
+            p4[:, :, i, :], v_pages[i][:, 0],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    scale = 1.0 / jnp.maximum(l, 1e-10)
+    o_ref[0] = (acc - corr) * scale
+
+
+def v_pgmaj(q, kp, vp, sc, sel, lens):
+    # sc: pool layout [P, 4, H, PAGE] f32
+    return pl.pallas_call(
+        _pgmaj_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, H, ROWS, D), jnp.uint8),
+                pltpu.VMEM((2, G, H, ROWS, D), jnp.uint8),
+                pltpu.VMEM((2, G, 4, H, PAGE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, G, 3)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, REP, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(sel, lens, q, kp, vp, sc)
+
+
+def _pgmaj_dma_kernel(sel_ref, len_ref, q_ref, k_hbm, v_hbm, sc_hbm, o_ref,
+                      k_buf, v_buf, sc_buf, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def issue(bb, sl):
+        bbc = jnp.minimum(bb, nb - 1)
+
+        @pl.when(bb < nb)
+        def _():
+            for i in range(G):
+                idx = sel_ref[bbc, i]
+                pltpu.make_async_copy(
+                    k_hbm.at[idx], k_buf.at[sl, i], sem.at[sl, i, 0]).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[idx], v_buf.at[sl, i], sem.at[sl, i, 1]).start()
+                pltpu.make_async_copy(
+                    sc_hbm.at[idx], sc_buf.at[sl, i], sem.at[sl, i, 2]).start()
+
+    @pl.when(b == 0)
+    def _():
+        issue(b, slot)
+    issue(b + 1, 1 - slot)
+    for i in range(G):
+        idx = sel_ref[b, i]
+        pltpu.make_async_copy(
+            k_hbm.at[idx], k_buf.at[slot, i], sem.at[slot, i, 0]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[idx], v_buf.at[slot, i], sem.at[slot, i, 1]).wait()
+        pltpu.make_async_copy(
+            sc_hbm.at[idx], sc_buf.at[slot, i], sem.at[slot, i, 2]).wait()
+    kw = pltpu.bitcast(k_buf[slot, 0, 0], jnp.int32)   # [ROWS, D]
+    o_ref[0] = kw[:REP][None].astype(jnp.float32).repeat(H, 0).reshape(
+        H, REP, D)
+
+
+def v_pgmaj_dma(q, kp, vp, sc, sel, lens):
+    return pl.pallas_call(
+        _pgmaj_dma_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, H, REP, D), lambda b, *p: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, H, ROWS, D), jnp.uint8),
+                pltpu.VMEM((2, G, H, ROWS, D), jnp.uint8),
+                pltpu.VMEM((2, G, 4, H, PAGE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, G, 3)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, REP, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(sel, lens, q, kp, vp, sc)
+
+
 def main():
     rng = np.random.default_rng(0)
     n_pages = B * G + 1
@@ -1118,6 +1494,8 @@ def main():
     variants = {
         "v_dma": (v_dma, sc_pool),
         "v_scdma": (v_scdma, sc_pool.reshape(n_pages, H, 4, PAGE).transpose(0, 2, 1, 3).copy()),
+        "v_pgmaj": (v_pgmaj, sc_pool.reshape(n_pages, H, 4, PAGE).transpose(0, 2, 1, 3).copy()),
+        "v_pgmaj_dma": (v_pgmaj_dma, sc_pool.reshape(n_pages, H, 4, PAGE).transpose(0, 2, 1, 3).copy()),
         "v_fused": (v_fused, fused_pool),
         "v_fused_dma": (v_fused_dma, fused_pool),
         "v_cur": (v_cur, sc_g),

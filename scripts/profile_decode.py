@@ -75,7 +75,9 @@ def run_steps(out_dir: str, steps: int) -> None:
         logits, pool, _, _ = llama_forward(
             params, pool, None, b, spec=spec, is_prefill=False
         )
-        toks = jnp.argmax(logits[:, :1000], axis=-1).astype(jnp.int32)
+        # FULL-vocab argmax: logits[:, :1000] let XLA dead-code-eliminate
+        # most of the lm_head read and hid ~1 ms/step (r5 finding)
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return b._replace(token_ids=toks, positions=b.positions + 1), pool
 
     fetch = jax.jit(lambda t: t[:4])

@@ -49,7 +49,9 @@ def roundtrip(kv_bits, kv_zeros=True, n_tokens=13):
 
 
 class TestAppendGatherRoundtrip:
-    @pytest.mark.parametrize("kv_bits,tol", [(16, 1e-2), (8, 5e-3), (4, 1e-1)])
+    # kv8 tol: the scale planes are stored bf16 (r5, paged_kv), adding up
+    # to 2^-8 relative on top of the 1/255 quant step -> ~1.2e-2 worst case
+    @pytest.mark.parametrize("kv_bits,tol", [(16, 1e-2), (8, 1.2e-2), (4, 1e-1)])
     def test_fine_grained(self, kv_bits, tol):
         k, v, k_hat, v_hat = roundtrip(kv_bits)
         np.testing.assert_allclose(k_hat, k, atol=tol)
