@@ -665,7 +665,10 @@ def paged_mqa_attention_single_pass(
     rows_pg = page_size // 2 if pool.k_data.shape[3] * 2 == page_size \
         else page_size
     per_page = 4 * hkv * rows_pg * d + 2 * 4 * 4 * hkv * page_size
-    cap = max(quantum, min(2048 // page_size,
+    import os as _os
+
+    max_chunk_tok = int(_os.environ.get("OMNISERVE_DECODE_CHUNK", "2048"))
+    cap = max(quantum, min(max_chunk_tok // page_size,
                            (9 * 2 ** 20) // per_page))
     g = min(cap, quantum * _cdiv(tp, quantum))
     n_chunks = _cdiv(tp, g)
