@@ -176,8 +176,11 @@ def paged_prefill_attention(*args, **kwargs):
         page_size = (kwargs["page_size"] if "page_size" in kwargs
                      else (args[7] if len(args) > 7 else 0))
         head_dim = (args[0] if args else kwargs["q"]).shape[-1]
-        # default off until validated on hardware; flip the default once
-        # the long-context sweep runs green with it
+        # default OFF by measurement, not caution: the r5 hardware A/B
+        # (eval/prefill_single_pass_ab.json) has the single-pass kernel
+        # 0.6% faster at 16K and 2.2% SLOWER at 64K — prefill attention
+        # is compute-bound, so the gather's extra HBM pass it removes
+        # overlaps with the chunk GEMMs anyway
         single_pass = (
             os.environ.get("OMNISERVE_PREFILL_SINGLE_PASS", "0") == "1"
         )

@@ -115,6 +115,47 @@ def build_loss_fn(cfg):
             x1 * cos - x2 * sin, x2 * cos + x1 * sin,
         ], axis=-1).astype(x.dtype)
 
+    def flash_attn(q, k, v):
+        # blocked causal attention: scan over KV blocks with an online
+        # softmax so long-context NIAH training steps (8K-16K) never
+        # materialize the [B, H, T, T] score matrix (which OOMs at 16K)
+        b, H, t, d = q.shape
+        blk = min(1024, t)
+        n_blk = t // blk
+        qs = q.reshape(b, H, n_blk, blk, d)
+        ks = k.reshape(b, H, n_blk, blk, d).transpose(2, 0, 1, 3, 4)
+        vs = v.reshape(b, H, n_blk, blk, d).transpose(2, 0, 1, 3, 4)
+        q_pos = jnp.arange(t).reshape(n_blk, blk)
+
+        def inner(carry, kv):
+            m_run, l_run, acc = carry
+            j, k_j, v_j = kv
+            s_j = jnp.einsum(
+                "bhnqd,bhkd->bhnqk", qs, k_j
+            ).astype(jnp.float32) / np.sqrt(hd)       # [B,H,Nq,blk,blk]
+            kpos = j * blk + jnp.arange(blk)
+            mask = q_pos[None, None, :, :, None] >= kpos[None, None,
+                                                         None, None, :]
+            s_j = jnp.where(mask, s_j, -1e30)
+            m_new = jnp.maximum(m_run, jnp.max(s_j, axis=-1))
+            p_j = jnp.exp(s_j - m_new[..., None])
+            alpha = jnp.exp(m_run - m_new)
+            l_new = l_run * alpha + jnp.sum(p_j, axis=-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhnqk,bhkd->bhnqd", p_j.astype(v_j.dtype), v_j
+            ).astype(jnp.float32)
+            return (m_new, l_new, acc), None
+
+        init = (
+            jnp.full((b, H, n_blk, blk), -jnp.inf, jnp.float32),
+            jnp.zeros((b, H, n_blk, blk), jnp.float32),
+            jnp.zeros((b, H, n_blk, blk, d), jnp.float32),
+        )
+        (m_run, l_run, acc), _ = jax.lax.scan(
+            inner, init, (jnp.arange(n_blk), ks, vs))
+        out = acc / jnp.maximum(l_run, 1e-20)[..., None]
+        return out.reshape(b, H, t, d).astype(q.dtype)
+
     def layer(x, w):
         b, t, _ = x.shape
         pos = jnp.arange(t)
@@ -128,13 +169,7 @@ def build_loss_fn(cfg):
         rep = n_q // n_kv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-        s = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k
-        ).astype(jnp.float32) / np.sqrt(hd)
-        causal = jnp.tril(jnp.ones((t, t), bool))
-        s = jnp.where(causal[None, None], s, -1e30)
-        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-        a = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        a = flash_attn(q, k, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, t, h)
         x = x + a @ w["o"].T
         y = rms(x, w["ln2"])
@@ -182,6 +217,12 @@ def main():
     ap.add_argument("--holdout-every", type=int, default=8,
                     help="every Nth essay goes to the val split")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--niah-mix", type=float, default=0.0,
+                    help="fraction of steps trained on synthetic "
+                         "needle-retrieval episodes (VERDICT r4 item 5: "
+                         "makes the NIAH eval scoreable on this model)")
+    ap.add_argument("--niah-lens", type=str, default="1024,4096,8192,16384",
+                    help="episode context lengths to sample from")
     args = ap.parse_args()
 
     import jax
@@ -257,11 +298,58 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     n_pos = len(train_arr) - sl - 1
+
+    # -- synthetic needle-retrieval episodes (same shape as the NIAH
+    # harness prompt: Context + needle at depth + Question + Answer) --
+    PLACES = ["San Francisco", "New York", "Boston", "Paris", "London",
+              "Tokyo", "Rome", "Berlin", "Austin", "Seattle", "Chicago",
+              "Denver", "Lisbon", "Oslo", "Madrid", "Dublin", "Prague",
+              "Vienna", "Sydney", "Toronto"]
+    ACTS = ["eat a sandwich and sit in Dolores Park on a sunny day",
+            "walk across the old bridge at sunrise",
+            "read a book in the botanical garden",
+            "ride the ferry past the lighthouse",
+            "drink coffee at the corner bakery",
+            "watch the street musicians in the main square",
+            "climb the hill behind the museum",
+            "sketch the harbor from the stone pier",
+            "browse the sunday flea market for records",
+            "share a pizza by the fountain at dusk"]
+    niah_lens = [int(x) for x in args.niah_lens.split(",")]
+
+    def needle_episode(ctx_len):
+        place = PLACES[rng.integers(len(PLACES))]
+        act = ACTS[rng.integers(len(ACTS))]
+        needle = f"The best thing to do in {place} is {act}."
+        q = (f"What is the best thing to do in {place}? "
+             f"Answer based only on the context above.")
+        tail = tok.encode(f"\n\nQuestion: {q}\nAnswer: {needle}")
+        prefix = tok.encode("Context: ")
+        budget = ctx_len - len(tail) - len(prefix) - 8
+        start = rng.integers(0, max(1, len(train_arr) - budget - 1))
+        filler = list(train_arr[start: start + budget])
+        nid = tok.encode(" " + needle)
+        depth = rng.integers(0, max(1, len(filler) - 1))
+        ids = (prefix + filler[:depth] + nid + filler[depth:] + tail)
+        ids = ids[: ctx_len + 1]
+        if len(ids) < ctx_len + 1:       # pad by repeating filler
+            ids = ids + list(train_arr[: ctx_len + 1 - len(ids)])
+        return np.asarray(ids, np.int32)
+
+    # one jitted train_step per episode length (static shapes)
+    def batch_for(eplen):
+        nb = max(1, (args.batch * sl) // eplen)
+        return np.stack([needle_episode(eplen) for _ in range(nb)])
+
     best = (float("inf"), None)
     stale = 0
     for step in range(1, args.max_steps + 1):
-        starts = rng.integers(0, n_pos, size=args.batch)
-        batch = np.stack([train_arr[s: s + sl + 1] for s in starts])
+        if args.niah_mix > 0 and rng.random() < args.niah_mix:
+            eplen = niah_lens[rng.integers(len(niah_lens))]
+            batch = batch_for(eplen)
+        else:
+            starts = rng.integers(0, n_pos, size=args.batch)
+            batch = np.stack([train_arr[s: s + sl + 1] for s in starts])
         params, opt_state, loss = train_step(
             params, opt_state, jnp.asarray(batch))
         if step % args.val_every == 0 or step == args.max_steps:
