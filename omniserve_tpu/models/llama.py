@@ -893,7 +893,35 @@ def _layer_step(
         q4 = q.reshape(nb, tc, spec.num_q_heads, spec.head_dim)
         seg2 = batch.segment_ids.reshape(nb, tc)
         qpos = jnp.where(seg2 >= 0, batch.positions.reshape(nb, tc), -1)
-        if streaming_pool is None:
+        if streaming_pool is None and spec.sp_axis is not None:
+            # SP chunked prefill: this rank attends its OWNED pages of
+            # (history + the chunk just appended), emitting locally
+            # normalized output + (m, l); ranks merge via the flash LSE
+            # combine (parallel/sp.sp_combine) — the same math as the SP
+            # decode path at models/llama._sp_paged_decode_attention.
+            from omniserve_tpu.parallel.sp import sp_combine
+
+            sp_rank2 = jax.lax.axis_index(spec.sp_axis)
+            p_loc = retrieval_pool.k_data.shape[1]
+            bt = batch.block_tables
+            w_ = bt.shape[1]
+            tile_w = jnp.arange(w_, dtype=jnp.int32)
+            n_pg = (
+                batch.context_lens + spec.page_size - 1
+            ) // spec.page_size
+            live = tile_w[None, :] < n_pg[:, None]
+            owned = live & ((bt // p_loc) == sp_rank2)
+            sel_logic_sp = jnp.where(owned, tile_w[None, :], -1)
+            local_bt = jnp.where(owned, bt % p_loc, 0)
+            attn, m_sp, l_sp = dispatch.paged_prefill_attention(
+                q4, retrieval_pool, layer_idx, local_bt,
+                qpos, batch.context_lens,
+                sm_scale=spec.sm_scale, page_size=spec.page_size,
+                kv_bits=spec.kv_bits, kv_zeros=spec.kv_zeros,
+                sel_logic=sel_logic_sp, return_lse=True,
+            )
+            attn = sp_combine(attn, m_sp, l_sp, spec.sp_axis)
+        elif streaming_pool is None:
             attn = dispatch.paged_prefill_attention(
                 q4, retrieval_pool, layer_idx, batch.block_tables,
                 qpos, batch.context_lens,
@@ -1107,14 +1135,15 @@ def llama_forward(
         # Sequence parallelism: page ids in page_io are GLOBAL; each rank
         # writes only its owned slice (global page p -> rank p // p_local,
         # local index p % p_local; -1 pages are skipped by the writers).
-        # Supported surface: dense attention, full (non-chunked) prefill.
+        # Supported surface: dense attention — whole-prompt OR CHUNKED
+        # prefill (r5: each rank attends its owned pages through the
+        # paged-prefill kernel's return_lse mode and partials merge with
+        # the same cross-rank LSE combine as decode). Dynamic-sparse
+        # selection / streaming heads remain excluded: the page selector
+        # would need a cross-rank global top-k over sharded K stats.
         assert not spec.sparse_decode and streaming_pool is None, (
-            "sequence parallelism currently covers the dense decode path "
+            "sequence parallelism currently covers the dense path "
             "(no dynamic-sparse selection, no streaming heads)"
-        )
-        assert not (is_prefill and batch.context_lens is not None), (
-            "sequence parallelism needs whole-prompt prefill (set "
-            "chunk_prefill_size >= max prompt length)"
         )
         sp_rank = jax.lax.axis_index(spec.sp_axis)
         p_local = retrieval_pool.k_data.shape[1]

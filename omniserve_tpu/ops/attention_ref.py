@@ -403,6 +403,7 @@ def paged_prefill_attention(
     sink_size: int = 0,
     local_size: int = 0,
     kv_positions: Optional[jnp.ndarray] = None,  # [B, max_blocks*page]
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Chunked-prefill attention: queries attend CAUSALLY over the paged
     pool (history + the current chunk, which the caller appends before
@@ -455,8 +456,26 @@ def paged_prefill_attention(
         else:
             mask_h = jnp.broadcast_to(mask[None], logits.shape)
         logits = jnp.where(mask_h, logits, -1e30)
-        p = jax.nn.softmax(logits, axis=-1)
-        p = jnp.where(mask_h, p, 0.0)
-        out = jnp.einsum("hqk,khd->qhd", p, vf)
-        outs.append(out)
+        if return_lse:
+            # sequence-parallel partials: locally-normalized output plus
+            # (m, l) for the cross-rank LSE combine (parallel/sp.py)
+            m = jnp.max(logits, axis=-1)               # [Hq, Tq]
+            pexp = jnp.where(
+                mask_h, jnp.exp(logits - m[..., None]), 0.0
+            )
+            l = jnp.sum(pexp, axis=-1)                 # [Hq, Tq]
+            out = jnp.einsum(
+                "hqk,khd->qhd", pexp / jnp.maximum(l, 1e-30)[..., None], vf
+            )
+            outs.append((out, m.T, l.T))
+        else:
+            p = jax.nn.softmax(logits, axis=-1)
+            p = jnp.where(mask_h, p, 0.0)
+            out = jnp.einsum("hqk,khd->qhd", p, vf)
+            outs.append(out)
+    if return_lse:
+        o = jnp.stack([x[0] for x in outs]).astype(q.dtype)
+        m = jnp.stack([x[1] for x in outs])
+        l = jnp.stack([x[2] for x in outs])
+        return o, m, l
     return jnp.stack(outs).astype(q.dtype)

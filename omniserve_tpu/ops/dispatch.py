@@ -183,6 +183,7 @@ def paged_prefill_attention(*args, **kwargs):
         # overlaps with the chunk GEMMs anyway
         single_pass = (
             os.environ.get("OMNISERVE_PREFILL_SINGLE_PASS", "0") == "1"
+            and not kwargs.get("return_lse")  # SP partials: two-stage only
         )
         if single_pass:
             if kv_bits in (4, 8):
@@ -226,5 +227,18 @@ def paged_prefill_attention(*args, **kwargs):
         kwargs["kv_positions"] = ring_token_positions(
             context_lens, sel_logic.shape[1], ring_sink // page_size,
             ring_span, page_size,
+        )
+    elif sel_logic is not None:
+        # explicit page lists without a ring (sequence-parallel owned-page
+        # subsets): slot s holds logical page sel_logic[b, s], -1 = dead
+        import jax.numpy as jnp
+
+        page_size = (kwargs["page_size"] if "page_size" in kwargs
+                     else args[7])
+        off = jnp.arange(page_size)[None, None, :]
+        pos = sel_logic[:, :, None] * page_size + off
+        pos = jnp.where(sel_logic[:, :, None] >= 0, pos, -1)
+        kwargs["kv_positions"] = pos.reshape(
+            sel_logic.shape[0], sel_logic.shape[1] * page_size
         )
     return attention_ref.paged_prefill_attention(*args, **kwargs)

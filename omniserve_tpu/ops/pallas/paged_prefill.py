@@ -50,10 +50,9 @@ def _prefill_kernel(
     v_ref,
     sc_ref,          # [1, Hkv, 4, nc, G*page]
     # out
-    o_ref,           # [1, tq, Hkv, n_rep, D]
-    # scratch
-    m_ref, l_ref, acc_ref,   # [Hkv*tq*n_rep, 128] x2 / [..., D]
-    *,
+    o_ref,           # [1, tq, Hkv, n_rep, D] (+ with_lse: m_out, l_out
+    #                  [1, tq, Hkv, n_rep, 128] via *outs)
+    *outs,           # (with_lse outputs +) scratch m_ref, l_ref, acc_ref
     sm_scale: float,
     page_size: int,
     kv_bits: int,
@@ -67,7 +66,12 @@ def _prefill_kernel(
     sparse_heads: bool,
     ring_span: int = 0,
     ring_sink_tok: int = 0,
+    with_lse: bool = False,
 ):
+    if with_lse:
+        m_out, l_out, m_ref, l_ref, acc_ref = outs
+    else:
+        m_ref, l_ref, acc_ref = outs
     b = pl.program_id(0)
     qt = pl.program_id(1)
     j = pl.program_id(2)
@@ -252,6 +256,13 @@ def _prefill_kernel(
             o_ref[0, :, h] = (acc_ref[rs, :] / l).reshape(
                 tq, n_rep, d
             ).astype(o_ref.dtype)
+            if with_lse:
+                # sequence-parallel partials: locally-normalized output +
+                # (m, l) for the cross-rank LSE combine (parallel/sp.py);
+                # rows with no attended lanes keep (MASK, 0) so the
+                # combine zeroes them
+                m_out[0, :, h] = m_ref[rs, :].reshape(tq, n_rep, 128)
+                l_out[0, :, h] = l_ref[rs, :].reshape(tq, n_rep, 128)
 
 
 def paged_prefill_attention(
@@ -272,6 +283,7 @@ def paged_prefill_attention(
     sel_logic: Optional[jnp.ndarray] = None,   # [B, n_slots] override
     ring_span_pages: int = 0,
     ring_sink_tokens: int = 0,
+    return_lse: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Causal multi-query attention over the paged pool (history + chunk).
@@ -392,6 +404,7 @@ def paged_prefill_attention(
         sparse_heads=sparse,
         ring_span=int(ring_span_pages),
         ring_sink_tok=int(ring_sink_tokens),
+        with_lse=bool(return_lse),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -404,9 +417,19 @@ def paged_prefill_attention(
             ),
             data_spec, data_spec, sc_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (1, tq, hkv, n_rep, d),
-            lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt: (b_, qt_, 0, 0, 0),
+        out_specs=(
+            tuple(
+                pl.BlockSpec(
+                    (1, tq, hkv, n_rep, dd),
+                    lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt:
+                    (b_, qt_, 0, 0, 0),
+                )
+                for dd in ((d, 128, 128) if return_lse else (d,))
+            ) if return_lse else pl.BlockSpec(
+                (1, tq, hkv, n_rep, d),
+                lambda b_, qt_, j_, sl, qs, qc, ln, fl, pt:
+                (b_, qt_, 0, 0, 0),
+            )
         ),
         scratch_shapes=[
             pltpu.VMEM((hkv * tq * n_rep, 128), jnp.float32),
@@ -414,11 +437,17 @@ def paged_prefill_attention(
             pltpu.VMEM((hkv * tq * n_rep, d), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((b, q_tiles * tq, hkv, n_rep, d),
+                                     q.dtype)
+    if return_lse:
+        ml = jax.ShapeDtypeStruct(
+            (b, q_tiles * tq, hkv, n_rep, 128), jnp.float32
+        )
+        out_shape = (out_shape, ml, ml)
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, q_tiles * tq, hkv, n_rep, d),
-                                       q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=(
@@ -429,4 +458,11 @@ def paged_prefill_attention(
         interpret=interpret,
     )(sel_logic.astype(jnp.int32), q_start, q_count,
       context_lens.astype(jnp.int32), flags, pt_arr, q5, kd, vd, sc_input)
-    return out.reshape(b, q_tiles * tq, hq, d)[:, :tq_total]
+    if return_lse:
+        out, m_b, l_b = res
+        return (
+            out.reshape(b, q_tiles * tq, hq, d)[:, :tq_total],
+            m_b[..., 0].reshape(b, q_tiles * tq, hq)[:, :tq_total],
+            l_b[..., 0].reshape(b, q_tiles * tq, hq)[:, :tq_total],
+        )
+    return res.reshape(b, q_tiles * tq, hq, d)[:, :tq_total]

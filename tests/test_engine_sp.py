@@ -32,7 +32,7 @@ def tiny_model_dir(tmp_path_factory):
     return str(d)
 
 
-def run_engine(tiny_model_dir, sp, tp=1):
+def run_engine(tiny_model_dir, sp, tp=1, chunk=4096):
     engine = LLMEngine.from_engine_args(EngineArgs(
         model=tiny_model_dir,
         precision="w4a8kv4",
@@ -43,11 +43,10 @@ def run_engine(tiny_model_dir, sp, tp=1):
         num_retrieval_blocks=64,
         sequence_parallel_size=sp,
         tensor_parallel_size=tp,
-        # SP prefill is whole-prompt (llama_forward guards chunked)
-        chunk_prefill_size=4096,
+        chunk_prefill_size=chunk,
     ))
-    for rid, prompt in (("a", [3, 1, 4, 1, 5, 9, 2, 6]),
-                        ("b", [2, 7, 1, 8, 2, 8])):
+    for rid, prompt in (("a", [3, 1, 4, 1, 5, 9, 2, 6] * 6),
+                        ("b", [2, 7, 1, 8, 2, 8] * 7)):
         engine.add_request(
             rid, prompt_token_ids=list(prompt),
             sampling_params=SamplingParams(max_tokens=20, ignore_eos=True),
@@ -71,6 +70,20 @@ def test_sp_engine_matches_single_chip(tiny_model_dir):
         pytest.skip("needs 2 virtual devices")
     want = run_engine(tiny_model_dir, sp=1)
     got = run_engine(tiny_model_dir, sp=2)
+    assert got == want
+
+
+def test_sp_engine_chunked_prefill_matches_single_chip(tiny_model_dir):
+    """-sp 2 with CHUNKED prefill (r5: the whole-prompt restriction is
+    lifted — 48/42-token prompts prefill in 32-token page-aligned chunks,
+    so chunk attention reads SHARDED history pages and merges partials
+    with the cross-rank LSE combine)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    want = run_engine(tiny_model_dir, sp=1, chunk=32)
+    got = run_engine(tiny_model_dir, sp=2, chunk=32)
     assert got == want
 
 

@@ -82,3 +82,46 @@ def test_ragged_query_padding():
     np.testing.assert_allclose(np.asarray(got)[:, :8],
                                np.asarray(want)[:, :8], rtol=2e-2,
                                atol=2e-2)
+
+
+def test_return_lse_partials_combine_to_full_attention():
+    """r5 SP chunked prefill: owned-page partials with (m, l) from BOTH
+    the Pallas kernel and the jnp reference must LSE-combine to the full
+    dense answer (the per-rank computation `sp_combine` merges)."""
+    pool, tables, q, q_pos, ctx = _setup(4, True, 40, 24)
+    want = attention_ref.paged_prefill_attention(
+        q, pool, 0, tables, q_pos, ctx, 0.088, PAGE, 4, True,
+    )
+    w = tables.shape[1]
+    tile = np.arange(w)
+    # split pages between two fake "ranks" (even/odd table slots)
+    parts = []
+    for r in range(2):
+        owned = (tile % 2) == r
+        sel_logic = jnp.asarray(np.where(owned, tile, -1), jnp.int32)
+        sel_b = jnp.broadcast_to(sel_logic[None], (B, w))
+        out, m, l = paged_prefill_attention(
+            q, pool, 0, tables, q_pos, ctx, 0.088, PAGE, 4, True,
+            sel_logic=sel_b, return_lse=True, tile_q=8, interpret=True,
+        )
+        out_r, m_r, l_r = attention_ref.paged_prefill_attention(
+            q, pool, 0, tables, q_pos, ctx, 0.088, PAGE, 4, True,
+            kv_positions=jnp.where(
+                sel_b[:, :, None] >= 0,
+                sel_b[:, :, None] * PAGE + jnp.arange(PAGE)[None, None],
+                -1,
+            ).reshape(B, w * PAGE),
+            return_lse=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                                   rtol=3e-2, atol=3e-2)
+        parts.append((np.asarray(out, np.float64), np.asarray(m),
+                      np.asarray(l)))
+    # host-side LSE combine (sp_combine math without the mesh)
+    m_star = np.maximum(parts[0][1], parts[1][1])
+    num = sum(o * (li * np.exp(mi - m_star))[..., None]
+              for o, mi, li in parts)
+    den = sum(li * np.exp(mi - m_star) for _, mi, li in parts)
+    combined = num / np.maximum(den, 1e-30)[..., None]
+    np.testing.assert_allclose(combined, np.asarray(want, np.float64),
+                               rtol=3e-2, atol=3e-2)
