@@ -792,6 +792,12 @@ def paged_mqa_attention_single_pass(
     # per grid step instead of three (each extra block stream cost a DMA
     # issue+wait per step — measured ~1 ms/step at batch 128 together
     # with the old whole-window merge)
+    # INTENTIONAL rounding (ADVICE r4): the new-token k/v are cast to
+    # q.dtype (bf16) before in-kernel quantization, so the fused path's
+    # stored codes can differ from the split path's f32-sourced ones by
+    # at most the bf16 ulp (2^-8 relative) feeding the (max-min)/15 scale
+    # — an order below the kv4 step itself. Quantified alongside the
+    # other quant noise in eval/quant_fidelity_0p29b.json.
     q_aug = jnp.concatenate([
         q, k_new.astype(q.dtype)[:, :, None], v_new.astype(q.dtype)[:, :, None],
     ], axis=2)
@@ -849,16 +855,17 @@ def _sp_kernel_ph(
     pt_ref,         # [2] f32
     # blocks
     q_ref,          # [1, H, n_rep, D]
-    sc_ref,         # [1, 4, H, lanes] pre-gathered folded planes, chunk j
     # full-array HBM refs
     k_hbm,          # [L*P, H, R, D] u8
     v_hbm,
+    sc_hbm,         # [L*P, 4, H, T] f32 folded planes (dummy if !fine)
     # out
     o_ref,
     # scratch
     k_buf,          # [2, H, G*R, D] u8
     v_buf,
-    sem,            # [2, H, 2] (shared across the head's page copies)
+    sc_buf,         # [2, H, G, 4, H, T] f32 whole-page plane records
+    sem,            # [2, H, 3] (shared across the head's page copies)
     m_ref, l_ref, acc_ref,
     *,
     sm_scale: float,
@@ -881,7 +888,7 @@ def _sp_kernel_ph(
 
     def copies(bb, cc, sl, h, i):
         idx = sel_phys_ref[bb, h, cc * g + i]
-        return (
+        cps = [
             pltpu.make_async_copy(
                 k_hbm.at[idx, h],
                 k_buf.at[sl, h, pl.ds(i * rows, rows), :],
@@ -892,7 +899,19 @@ def _sp_kernel_ph(
                 v_buf.at[sl, h, pl.ds(i * rows, rows), :],
                 sem.at[sl, h, 1],
             ),
-        )
+        ]
+        if kv_zeros:
+            # the page's WHOLE [4, H, T] plane record (16 KB, tile
+            # aligned). 8x head overfetch, but the r4 XLA pre-gather made
+            # XLA relayout-copy the layer's plane slab every step
+            # (13.5 ms/step at 64K) and a row-granular gather lowers to a
+            # 20x-worse while loop; the in-kernel DMA costs ~0.25 ms.
+            cps.append(pltpu.make_async_copy(
+                sc_hbm.at[idx],
+                sc_buf.at[sl, h, i],
+                sem.at[sl, h, 2],
+            ))
+        return cps
 
     def issue(bb, cc, sl):
         bbc = jnp.minimum(bb, nb - 1)
@@ -994,9 +1013,10 @@ def _sp_kernel_ph(
         ).reshape(n_heads, n_rep, g, page_size).astype(jnp.float32)
 
         def plane(k):
-            return sc_ref[0, k].reshape(
-                n_heads, g, page_size)[:, None].astype(
-                    jnp.float32)                       # [H, 1, g, T]
+            # head h's rows of its own pages' records: [H, 1, g, T]
+            return jnp.stack([
+                sc_buf[slot, h, :, k, h, :] for h in range(n_heads)
+            ], axis=0)[:, None].astype(jnp.float32)
 
         if kv_zeros:
             s0 = plane(0)
@@ -1096,36 +1116,6 @@ def _sp_kernel_ph(
             o_ref[0] = (acc3 / l3).astype(o_ref.dtype)
 
 
-def _gather_scale_planes_ph(pool: KVPool, layer, sel_phys):
-    """Per-head scale-plane gather -> [B, 4, H, Tp*T] kernel layout.
-
-    One lax.gather over the pool's natural [L*P, 4, H, T] view with
-    per-(page, head) index tuples; offset_dims interleave so no transpose
-    pass runs over the gathered planes.
-    """
-    if pool.kv_scales is None:
-        return None
-    b, H, tp = sel_phys.shape
-    L, P, _, hkv, T = pool.kv_scales.shape
-    folded = (layer * P + sel_phys).astype(jnp.int32)      # [B, H, Tp]
-    h_ids = jnp.broadcast_to(
-        jnp.arange(H, dtype=jnp.int32)[None, :, None], (b, H, tp)
-    )
-    idx = jnp.stack([folded, h_ids], axis=-1)              # [B, H, Tp, 2]
-    planes = jax.lax.gather(
-        pool.kv_scales.reshape(L * P, 4, hkv, T),
-        idx,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 4),           # slice dims 4, T land here
-            collapsed_slice_dims=(0, 2),
-            start_index_map=(0, 2),
-        ),
-        slice_sizes=(1, 4, 1, T),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )                                                      # [B,4,H,Tp,T]
-    return planes.reshape(b, 4, H, tp * T)
-
-
 def paged_mqa_attention_single_pass_ph(
     q: jnp.ndarray,            # [B, Hkv, n_rep, D]
     pool: KVPool,
@@ -1148,7 +1138,12 @@ def paged_mqa_attention_single_pass_ph(
     b, hkv, n_rep, d = q.shape
     tp = sel_logic.shape[-1]
     quantum = max(1, 128 // page_size)
-    cap = max(quantum, 4096 // page_size)
+    # whole-page plane records cost 2*H*g*(4*H*T*4) VMEM bytes — cap the
+    # chunk so records + double-buffered pages stay ~4 MB (g=8 at the
+    # LServe defaults; budget 32 pages -> 4 chunks)
+    cap = max(quantum, min(4096 // page_size,
+                           (2 * 2 ** 20) // (2 * hkv * 4 * hkv
+                                             * page_size * 4)))
     g = min(cap, quantum * _cdiv(tp, quantum))
     n_chunks = _cdiv(tp, g)
     pad = n_chunks * g - tp
@@ -1163,11 +1158,10 @@ def paged_mqa_attention_single_pass_ph(
     v_flat = pool.v_data.reshape(L * P, hkv, rows, d)
     phys_folded = (layer * P + sel_phys).astype(jnp.int32)
     fine = pool.kv_scales is not None and kv_zeros
-    lanes = 4 * g * (page_size // 4)
     if fine:
-        sc = _gather_scale_planes_ph(pool, layer, sel_phys)
+        sc_flat = pool.kv_scales.reshape(L * P, 4, hkv, page_size)
     else:
-        sc = jnp.zeros((1, 4, hkv, n_chunks * lanes), jnp.float32)
+        sc_flat = jnp.zeros((1, 4, hkv, page_size), jnp.float32)
 
     if pt_scales is None:
         pt_arr = jnp.zeros((2,), jnp.float32)
@@ -1193,11 +1187,7 @@ def paged_mqa_attention_single_pass_ph(
         in_specs=[
             pl.BlockSpec((1, hkv, n_rep, d),
                          lambda b_, j_, *pref: (b_, 0, 0, 0)),
-            pl.BlockSpec(
-                (1, 4, hkv, lanes),
-                (lambda b_, j_, *pref: (b_, 0, 0, j_)) if fine
-                else (lambda b_, j_, *pref: (0, 0, 0, 0)),
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -1206,7 +1196,8 @@ def paged_mqa_attention_single_pass_ph(
         scratch_shapes=[
             pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),
             pltpu.VMEM((2, hkv, g * rows, d), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2, hkv, 2)),
+            pltpu.VMEM((2, hkv, g, 4, hkv, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, hkv, 3)),
             pltpu.VMEM((hkv * n_rep, 128), jnp.float32),
             pltpu.VMEM((hkv * n_rep, 128), jnp.float32),
             pltpu.VMEM((hkv * n_rep, d), jnp.float32),
@@ -1222,4 +1213,4 @@ def paged_mqa_attention_single_pass_ph(
         ),
         interpret=interpret,
     )(phys_folded, sel_logic.astype(jnp.int32),
-      lengths.astype(jnp.int32), pt_arr, q, sc, k_flat, v_flat)
+      lengths.astype(jnp.int32), pt_arr, q, k_flat, v_flat, sc_flat)

@@ -617,7 +617,19 @@ def paged_decode_attention(
             tile[None, :] < n_pages[:, None], tile[None, :], -1
         )                                             # [B, max_blocks]
         sel_phys = jnp.where(sel_logic >= 0, block_tables, 0)
-    if use_sp and page_idxes is not None:
+    # Dynamic-sparse decode runs the _ph single-pass kernel, which (r5)
+    # DMAs each selected page's whole plane record in-kernel. The r4
+    # version pre-gathered planes with an XLA fancy gather that
+    # relayout-copied the layer's plane slab every step (13.5 ms/step at
+    # 64K, the sparse-decode sweep regression); a row-granular gather
+    # lowers to a while-loop 20x worse still. OMNISERVE_SPARSE_SINGLE_PASS=0
+    # forces the two-stage gather path for A/B.
+    import os as _os
+
+    use_sp_ph = use_sp and (
+        _os.environ.get("OMNISERVE_SPARSE_SINGLE_PASS", "1") == "1"
+    )
+    if use_sp_ph and page_idxes is not None:
         # per-head page lists: pages + quant planes DMA'd in-kernel
         out_r = sp.paged_mqa_attention_single_pass_ph(
             q_r, pool, layer, sel_phys, sel_logic,
@@ -625,7 +637,7 @@ def paged_decode_attention(
             sm_scale=sm_scale, page_size=page_size, kv_zeros=kv_zeros,
             pt_scales=pt_of(pool), interpret=interpret,
         )
-    elif use_sp:
+    elif use_sp and page_idxes is None:
         # single-pass kernel: pages read straight from the HBM pool
         app_r = None
         if append_kv is not None:

@@ -29,3 +29,47 @@ for LEN in ${LENS:-4096 16384 65536 131072 262144}; do
     --output "$OUT"
 done
 echo "results in $OUT"
+
+# --- r5 additions (VERDICT item 7) ---
+# batched long-context decode rows (the reference's decode win is batched
+# long-context serving, README.md:400-402) and selector-interval overhead
+if [ -n "$R5_EXTRAS" ]; then
+  for CFG in "4 65536" "16 16384" "4 131072"; do
+    set -- $CFG
+    B=$1; LEN=$2
+    echo "=== batch $B x $LEN ==="
+    GLOBAL_BATCH_SIZE=$B GLOBAL_PROMPT_LEN=$LEN GLOBAL_GENERATE_LEN=$GEN \
+    python lserve_benchmark.py --model "$MODEL" --precision "$PRECISION" \
+      --kv-quant-granularity "$GRAN" --load-format dummy \
+      --sparse-context-mode --sparse-decode-mode --static-sparsity 0.5 \
+      --ctx-sink-size 128 --ctx-local-size 8192 \
+      --dec-sink-size 128 --dec-local-size 256 \
+      --sparse-kv-cache-budget 4096 --selector-update-interval 4 \
+      --block-size 128 --max-num-seqs "$B" --max-model-len 262400 \
+      --no-ifb-mode --benchmarking-mode --decode-multi-step 32 \
+      --output "$OUT"
+  done
+  # selector-interval overhead at 64K (interval 1 vs 4 vs dense decode)
+  for IV in 1 4; do
+    echo "=== selector interval $IV ==="
+    GLOBAL_BATCH_SIZE=1 GLOBAL_PROMPT_LEN=65536 GLOBAL_GENERATE_LEN=$GEN \
+    python lserve_benchmark.py --model "$MODEL" --precision "$PRECISION" \
+      --kv-quant-granularity "$GRAN" --load-format dummy \
+      --sparse-context-mode --sparse-decode-mode --static-sparsity 0.5 \
+      --ctx-sink-size 128 --ctx-local-size 8192 \
+      --dec-sink-size 128 --dec-local-size 256 \
+      --sparse-kv-cache-budget 4096 --selector-update-interval "$IV" \
+      --block-size 128 --max-num-seqs 1 --max-model-len 262400 \
+      --no-ifb-mode --benchmarking-mode --decode-multi-step 32 \
+      --output "${OUT%.csv}_interval$IV.csv"
+  done
+  echo "=== dense decode control (sparse ctx only) ==="
+  GLOBAL_BATCH_SIZE=1 GLOBAL_PROMPT_LEN=65536 GLOBAL_GENERATE_LEN=$GEN \
+  python lserve_benchmark.py --model "$MODEL" --precision "$PRECISION" \
+    --kv-quant-granularity "$GRAN" --load-format dummy \
+    --sparse-context-mode --static-sparsity 0.5 \
+    --ctx-sink-size 128 --ctx-local-size 8192 \
+    --block-size 128 --max-num-seqs 1 --max-model-len 262400 \
+    --no-ifb-mode --benchmarking-mode --decode-multi-step 32 \
+    --output "${OUT%.csv}_dense.csv"
+fi

@@ -25,7 +25,7 @@ def main():
     gen = int(os.environ.get("GLOBAL_GENERATE_LEN", "96"))
     blocks = (prompt_len + gen + 127) // 128 + 1
     engine = LLMEngine.from_engine_args(EngineArgs(
-        model="/tmp/llama3_8b_1048k_cfg", precision="w4a8kv4",
+        model="/tmp/omniserve_bench_cfgs/llama3-8b-1048k", precision="w4a8kv4",
         load_format="dummy", block_size=128, max_num_seqs=1,
         max_model_len=262400,
         max_num_batched_tokens=max(32768, prompt_len),
