@@ -211,6 +211,9 @@ def w4a8_matmul_per_channel(
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the per-group kernel's int32 dequant intermediates blow the
+            # 16 MB default scoped budget at large prefill M (r5)
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * n,
@@ -353,6 +356,9 @@ def w4a8_matmul_per_group(
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the per-group kernel's int32 dequant intermediates blow the
+            # 16 MB default scoped budget at large prefill M (r5)
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * n,
@@ -448,6 +454,9 @@ def w8a8_matmul(
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the per-group kernel's int32 dequant intermediates blow the
+            # 16 MB default scoped budget at large prefill M (r5)
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * n,
