@@ -119,7 +119,7 @@ def main():
             return (mf, lf, af, mb, lb, ab), None
 
         z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
-        neg = jnp.full((b, H, nb, blk), -jnp.inf, jnp.float32)
+        neg = jnp.full((b, H, nb, blk), -1e30, jnp.float32)
         init = (neg, z(b, H, nb, blk), z(b, H, nb, blk, d),
                 neg, z(b, H, nb, blk), z(b, H, nb, blk, d))
         (mf, lf, af, mb, lb, ab), _ = jax.lax.scan(

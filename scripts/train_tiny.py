@@ -115,47 +115,6 @@ def build_loss_fn(cfg):
             x1 * cos - x2 * sin, x2 * cos + x1 * sin,
         ], axis=-1).astype(x.dtype)
 
-    def flash_attn(q, k, v):
-        # blocked causal attention: scan over KV blocks with an online
-        # softmax so long-context NIAH training steps (8K-16K) never
-        # materialize the [B, H, T, T] score matrix (which OOMs at 16K)
-        b, H, t, d = q.shape
-        blk = min(1024, t)
-        n_blk = t // blk
-        qs = q.reshape(b, H, n_blk, blk, d)
-        ks = k.reshape(b, H, n_blk, blk, d).transpose(2, 0, 1, 3, 4)
-        vs = v.reshape(b, H, n_blk, blk, d).transpose(2, 0, 1, 3, 4)
-        q_pos = jnp.arange(t).reshape(n_blk, blk)
-
-        def inner(carry, kv):
-            m_run, l_run, acc = carry
-            j, k_j, v_j = kv
-            s_j = jnp.einsum(
-                "bhnqd,bhkd->bhnqk", qs, k_j
-            ).astype(jnp.float32) / np.sqrt(hd)       # [B,H,Nq,blk,blk]
-            kpos = j * blk + jnp.arange(blk)
-            mask = q_pos[None, None, :, :, None] >= kpos[None, None,
-                                                         None, None, :]
-            s_j = jnp.where(mask, s_j, -1e30)
-            m_new = jnp.maximum(m_run, jnp.max(s_j, axis=-1))
-            p_j = jnp.exp(s_j - m_new[..., None])
-            alpha = jnp.exp(m_run - m_new)
-            l_new = l_run * alpha + jnp.sum(p_j, axis=-1)
-            acc = acc * alpha[..., None] + jnp.einsum(
-                "bhnqk,bhkd->bhnqd", p_j.astype(v_j.dtype), v_j
-            ).astype(jnp.float32)
-            return (m_new, l_new, acc), None
-
-        init = (
-            jnp.full((b, H, n_blk, blk), -jnp.inf, jnp.float32),
-            jnp.zeros((b, H, n_blk, blk), jnp.float32),
-            jnp.zeros((b, H, n_blk, blk, d), jnp.float32),
-        )
-        (m_run, l_run, acc), _ = jax.lax.scan(
-            inner, init, (jnp.arange(n_blk), ks, vs))
-        out = acc / jnp.maximum(l_run, 1e-20)[..., None]
-        return out.reshape(b, H, t, d).astype(q.dtype)
-
     def layer(x, w):
         b, t, _ = x.shape
         pos = jnp.arange(t)
@@ -169,7 +128,18 @@ def build_loss_fn(cfg):
         rep = n_q // n_kv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-        a = flash_attn(q, k, v)
+        # NOTE r5: a flash-blocked variant (scan over KV blocks) was tried
+        # for 8-16K needle episodes; its backward made XLA compile >10 min
+        # per episode shape on the axon relay and produced NaN losses on
+        # TPU — reverted to the materialized einsum (caps episodes ~4K by
+        # the [B, H, T, T] score memory with remat).
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k
+        ).astype(jnp.float32) / np.sqrt(hd)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        a = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, t, h)
         x = x + a @ w["o"].T
         y = rms(x, w["ln2"])
