@@ -34,10 +34,17 @@ echo "results in $OUT"
 # batched long-context decode rows (the reference's decode win is batched
 # long-context serving, README.md:400-402) and selector-interval overhead
 if [ -n "$R5_EXTRAS" ]; then
-  for CFG in "4 65536" "16 16384" "4 131072"; do
+  # batch x prompt chosen to fit 15.75 GB HBM: total tokens <= ~256K
+  # (retrieval-pool bytes scale with batch x prompt; the ring adds
+  # ~136 MB/seq at ctx local 8192, so batch 16 stays at 16K).
+  # max-model-len is sized per run - pools sized for 256K OOM at batch>1.
+  for CFG in "4 65536" "16 16384" "2 131072"; do
     set -- $CFG
     B=$1; LEN=$2
     echo "=== batch $B x $LEN ==="
+    # chunked prefill PACKS all running seqs' chunks into one varlen
+    # batch, so per-seq chunk = 8192/B keeps the packed gate_up temp at
+    # ~0.45 GB (batch 4 x chunk 8192 made a 1.7 GB temp -> OOM by 0.35 GB)
     GLOBAL_BATCH_SIZE=$B GLOBAL_PROMPT_LEN=$LEN GLOBAL_GENERATE_LEN=$GEN \
     python lserve_benchmark.py --model "$MODEL" --precision "$PRECISION" \
       --kv-quant-granularity "$GRAN" --load-format dummy \
@@ -45,7 +52,8 @@ if [ -n "$R5_EXTRAS" ]; then
       --ctx-sink-size 128 --ctx-local-size 8192 \
       --dec-sink-size 128 --dec-local-size 256 \
       --sparse-kv-cache-budget 4096 --selector-update-interval 4 \
-      --block-size 128 --max-num-seqs "$B" --max-model-len 262400 \
+      --block-size 128 --max-num-seqs "$B" --max-model-len $((LEN + 512)) \
+      --chunk-prefill-size $((8192 / B)) \
       --no-ifb-mode --benchmarking-mode --decode-multi-step 32 \
       --output "$OUT"
   done

@@ -76,6 +76,18 @@ FAMILIES = {
         rope_theta=283461213.0, max_position_embeddings=1048576,
         rms_norm_eps=1e-6, model_type="llama",
     ),
+    # Scaled Mixtral for one 16 GB chip: the 8-expert top-2 MoE graph at
+    # reduced width/depth (8.5B MoE params -> ~4.3 GB int4 dummy weights).
+    # The reference stubs the Mixtral forward (mixtral_w4a8_unpad.py:309);
+    # this row measures our working MoE path (ops/moe.py, models/mixtral.py).
+    "mixtral-scaled": dict(
+        architectures=["MixtralForCausalLM"], hidden_size=2048,
+        intermediate_size=7168, num_attention_heads=32,
+        num_key_value_heads=8, num_hidden_layers=24, vocab_size=32000,
+        num_local_experts=8, num_experts_per_tok=2,
+        rope_theta=1000000.0, max_position_embeddings=32768,
+        rms_norm_eps=1e-5, model_type="mixtral",
+    ),
     "qwen1.5-72b": dict(
         architectures=["Qwen2ForCausalLM"], hidden_size=8192,
         intermediate_size=24576, num_attention_heads=64,

@@ -24,6 +24,7 @@ python scripts/make_bench_config.py --out-dir "$CFGDIR" >/dev/null
 declare -A BATCH=(
   [llama3-8b]=128 [llama2-7b]=40 [mistral-7b]=96 [llama2-13b]=20
   [llama1-30b]=16 [yi-34b]=24 [llama2-70b]=8 [qwen1.5-72b]=4
+  [mixtral-scaled]=64
 )
 
 for FAM in ${FAMILIES:-llama3-8b llama2-7b mistral-7b llama2-13b}; do
