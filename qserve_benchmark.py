@@ -85,7 +85,12 @@ def main() -> None:
         if new_file:
             w.writerow(["model", "precision", "batch", "prompt_len",
                         "gen_len", "tok_per_s"])
-        w.writerow([args.model, args.precision, batch, prompt_len, gen_len,
+        precision = args.precision
+        if getattr(args, "group_size", -1) and args.group_size > 0:
+            precision += f"-g{args.group_size}"
+        if getattr(args, "kv_quant_granularity", "") == "per_tensor":
+            precision += "-pt"
+        w.writerow([args.model, precision, batch, prompt_len, gen_len,
                     round(best, 1)])
 
 
